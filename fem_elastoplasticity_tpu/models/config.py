@@ -1,0 +1,74 @@
+"""Problem configuration dataclasses.
+
+The reference hard-codes all physical and schedule constants inside
+`elasticity_fem` (SURVEY.md §5 "Config / flag system"); here they live in
+frozen dataclasses whose defaults reproduce each benchmark exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.elements import ElementType
+
+
+@dataclass(frozen=True)
+class ElasticityConfig:
+    """Square-with-hole linear elasticity (`Elasticity2D/pythonFEM.py:1052-1179`)."""
+
+    etype: ElementType = ElementType.P1
+    level: int = 1
+    young: float = 206900.0
+    poisson: float = 0.29
+    volume_force: tuple = (0.0, -1.0)
+    traction_force: tuple = (0.0, 450.0)
+    size_xy: float = 10.0
+    size_hole: float = 5.0
+    dirichlet_scale: float = 0.5  # ud = 0.5 * dirichlet pattern (E:1141)
+    dtype: str = "float64"
+
+
+@dataclass(frozen=True)
+class FootingConfig:
+    """Drucker-Prager strip footing (`Plasticity2D_DP/pythonFEM.py:901-1157`)."""
+
+    etype: ElementType = ElementType.P1
+    level: int = 1
+    young: float = 1e7
+    poisson: float = 0.48
+    cohesion: float = 450.0
+    friction_angle: float = float(np.pi / 9)
+    size_xy: float = 10.0
+    d_zeta: float = 1e-3
+    d_zeta_min_ratio: float = 1.0 / 1300.0
+    zeta_max: float = 1.0
+    newton_maxit: int = 25
+    newton_tol: float = 1e-12
+    accept_tol: float = 1e-10
+    max_steps: int = 1000  # history buffer length (P:1013)
+    solver: str = "dense"  # "dense" | "cg"
+    dtype: str = "float64"
+
+
+@dataclass(frozen=True)
+class TsxTunnelConfig:
+    """TSX tunnel excavation (`tsx-tunnel/pythonFEM.py:1637-1851`)."""
+
+    etype: ElementType = ElementType.P1
+    young: float = 60000.0
+    poisson: float = 0.2
+    cohesion: float = 18.7
+    friction_angle: float = float(49.0 * np.pi / 180.0)
+    init_stress: tuple = (-45.0, -11.0, 0.0, -60.0)
+    d_zeta: float = 1.0 / 17.0
+    d_zeta_min_ratio: float = 1.0 / 10.0
+    zeta_max: float = 1.0
+    newton_maxit: int = 25
+    newton_tol: float = 1e-12
+    accept_tol: float = 1e-10
+    max_steps: int = 100  # history buffer length (T:1758)
+    monitor_node: int = 40  # tunnel-wall node whose u_x is recorded (T:1813)
+    refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
+    solver: str = "dense"  # "dense" | "cg"
+    dtype: str = "float64"

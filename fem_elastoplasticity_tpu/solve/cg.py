@@ -1,0 +1,109 @@
+"""Matrix-free preconditioned conjugate gradients under `lax.while_loop`.
+
+Replaces the reference's dense `np.linalg.solve` on the boolean-masked
+stiffness (`tsx-tunnel/pythonFEM.py:1741-1748`) — the O(n^2)-memory /
+O(n^3)-time scalability cliff measured in SURVEY.md §8.3 — with a
+TPU-resident Krylov solve:
+
+  * the operator is applied matrix-free (`ops.assembly.tangent_matvec`),
+  * Dirichlet constraints are enforced by a multiplicative projector
+    (mask the input and output of the operator) — `Q Q^T` never exists,
+  * block-Jacobi (2x2 nodal blocks) preconditioning keeps iteration counts
+    bounded for the near-incompressible footing problem (nu = 0.48).
+
+Everything is jittable; the operator is a closure passed by the caller so
+the same solver serves single-chip, `shard_map`-sharded and `vmap`-batched
+problems.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    residual: jnp.ndarray
+
+
+def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
+    """Build M^{-1} from (n_n, 2, 2) nodal diagonal blocks.
+
+    Constrained DOFs get identity rows so the inverse stays well-defined;
+    the projector removes their effect anyway.
+
+    Returns apply(r) operating on flat (2*n_n,) vectors.
+    """
+    free2 = free.reshape(-1, 2)
+    eye = jnp.eye(2, dtype=blocks.dtype)
+    # zero out coupling with constrained DOFs, put 1 on their diagonal
+    mask = free2[:, :, None] & free2[:, None, :]
+    b = jnp.where(mask, blocks, 0.0)
+    diag_fix = (~free2).astype(blocks.dtype)
+    b = b + eye * diag_fix[:, :, None] * 1.0
+    # also fix fully-interior zero blocks (shouldn't occur) for safety
+    inv = jnp.linalg.inv(b)
+
+    def apply(r):
+        r2 = r.reshape(-1, 2)
+        return jnp.einsum("nij,nj->ni", inv, r2).reshape(-1)
+
+    return apply
+
+
+def solve_cg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    free: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-12,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+) -> CGResult:
+    """Projected preconditioned CG on the free-DOF subspace.
+
+    Args:
+      matvec: full-space operator v -> K v (symmetric on the free subspace).
+      b:      (n_dofs,) right-hand side.
+      free:   (n_n, 2) or (n_dofs,) boolean mask of unknowns.
+      x0:     initial guess (full-space); constrained part is preserved.
+      tol:    relative residual tolerance (on the preconditioned norm).
+    """
+    fmask = jnp.asarray(free).reshape(-1)
+    proj = lambda v: jnp.where(fmask, v, 0.0)
+    A = lambda v: proj(matvec(proj(v)))
+    M = precond if precond is not None else (lambda r: r)
+
+    b = proj(b)
+    x0 = jnp.zeros_like(b) if x0 is None else proj(x0)
+
+    r0 = b - A(x0)
+    z0 = proj(M(r0))
+    gamma0 = r0 @ z0
+    bnorm = jnp.sqrt(b @ proj(M(b)))
+    limit = jnp.maximum(tol * bnorm, atol)
+
+    def cond(state):
+        _, r, _, _, gamma, k = state
+        return (jnp.sqrt(jnp.abs(gamma)) > limit) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, gamma, k = state
+        Ap = A(p)
+        alpha = gamma / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = proj(M(r))
+        gamma_new = r @ z
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return (x, r, z, p, gamma_new, k + 1)
+
+    state = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
+    x, r, _, _, gamma, k = jax.lax.while_loop(cond, body, state)
+    return CGResult(x=x, iters=k, residual=jnp.sqrt(jnp.abs(gamma)))

@@ -1,0 +1,22 @@
+"""Precision policy.
+
+Validation parity with the reference requires float64
+(SURVEY.md §7 "Hard parts"): Newton tolerances of 1e-12 and golden-file
+agreement at 1e-8 rel are unreachable in float32.  TPUs execute f64 via
+software emulation; the fast path (bfloat16/f32 kernels) is opt-in per
+problem config.
+
+Importing anything from `fem_elastoplasticity_tpu` enables x64 unless
+`FEM_TPU_NO_X64=1` is set in the environment.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_x64() -> None:
+    if os.environ.get("FEM_TPU_NO_X64") == "1":
+        return
+    import jax
+
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,47 @@
+"""End-to-end linear elasticity benchmark tests.
+
+Stored-energy anchors are measured from the unmodified reference
+(BASELINE.md / SURVEY.md §8.3).
+"""
+import numpy as np
+import pytest
+
+from fem_elastoplasticity_tpu.models.config import ElasticityConfig
+from fem_elastoplasticity_tpu.models.elasticity import solve
+from fem_elastoplasticity_tpu.ops.elements import ElementType
+
+
+@pytest.mark.parametrize(
+    "etype,level,expected",
+    [
+        (ElementType.P1, 1, 2786.3472189077333),
+        (ElementType.P1, 2, 2717.549266620117),
+        (ElementType.Q2, 1, 2642.1861301492227),
+    ],
+)
+def test_stored_energy_anchors(etype, level, expected):
+    r = solve(ElasticityConfig(etype=etype, level=level))
+    assert abs(float(r.energy) - expected) / abs(expected) < 1e-10
+
+
+def test_p2_hole_mesh_supported():
+    """The reference's P2 hole-domain path crashes (shape-mismatch transpose,
+    Elasticity2D/pythonFEM.py:685-698); ours must produce a sane solution."""
+    r = solve(ElasticityConfig(etype=ElementType.P2, level=1))
+    assert np.isfinite(float(r.energy))
+    # energy between the P1 and Q2 values (finer approximations are softer)
+    assert 2600.0 < float(r.energy) < 2800.0
+
+
+def test_dirichlet_values_applied():
+    r = solve(ElasticityConfig(etype=ElementType.P1, level=1))
+    mesh = r.mesh
+    bottom = mesh.coords[:, 1] == 0.0
+    np.testing.assert_allclose(np.asarray(r.u)[bottom, 0], 0.5, atol=1e-12)
+
+
+def test_energy_decreases_with_refinement():
+    """Minimum-energy principle: finer meshes can only lower the functional."""
+    e1 = float(solve(ElasticityConfig(etype=ElementType.P1, level=1)).energy)
+    e2 = float(solve(ElasticityConfig(etype=ElementType.P1, level=2)).energy)
+    assert e2 < e1
