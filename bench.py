@@ -1,0 +1,114 @@
+"""Benchmark: full TSX-tunnel Drucker-Prager Newton solve on TPU.
+
+North-star metric (BASELINE.json): wall-clock of the complete load-stepped
+Newton solve on the tsx-tunnel P1 mesh.  Baseline: the unmodified
+NumPy/SciPy reference takes 1.36 s on the container CPU (BASELINE.md,
+measured); `vs_baseline` is the speedup over that.
+
+Prints exactly one JSON line.  Correctness is asserted against the
+behavioral anchors before timing (a fast wrong answer doesn't count).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_WALL_S = 1.36  # reference tsx P1 solve, container CPU (BASELINE.md)
+ANCHOR_U40 = -1.979450e-03
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import fem_elastoplasticity_tpu  # noqa: F401  (enables x64)
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+    from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+    from fem_elastoplasticity_tpu.models.materials import (
+        drucker_prager_fit,
+        elastic_tangent,
+        lame_moduli,
+    )
+    from fem_elastoplasticity_tpu.ops import assembly as asm
+    from fem_elastoplasticity_tpu.ops.elements import volume_element
+    from fem_elastoplasticity_tpu.solve.newton import (
+        NewtonSettings,
+        build_load_stepper,
+    )
+
+    cfg = TsxTunnelConfig()
+    mesh = tsx.tsx_mesh(cfg.etype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial = tsx.initial_state(cfg)
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+    coords = jnp.asarray(mesh.coords)
+    elems = jnp.asarray(mesh.elems)
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+    )
+
+    @jax.jit
+    def full_solve(coords):
+        geom = asm.compute_geometry(coords, elems, ref)
+        d_el = elastic_tangent(shear, bulk, coords.dtype)
+        s0f = jnp.broadcast_to(
+            jnp.asarray(s0[:3], coords.dtype), (geom.n_elems, geom.n_q, 3)
+        )
+        f0 = asm.internal_force(geom, s0f)
+        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        ke = asm.element_stiffness(geom, D)
+        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        u_el = jnp.zeros((2 * geom.n_nodes,), coords.dtype).at[free_idx].set(
+            jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
+        )
+        stepper = build_load_stepper(
+            geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
+            e0_dir=jnp.asarray(e0, coords.dtype),
+            monitor=lambda u, s: u[2 * cfg.monitor_node],
+            solver=cfg.solver,
+        )
+        return stepper(cfg.d_zeta * u_el, 0.0, cfg.d_zeta)
+
+    # warmup + correctness gate
+    res = jax.block_until_ready(full_solve(coords))
+    u40 = float(res.u[2 * cfg.monitor_node])
+    assert int(res.n_steps) == 17, f"step count {int(res.n_steps)} != 17"
+    assert abs(u40 - ANCHOR_U40) / abs(ANCHOR_U40) < 1e-6, u40
+
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(full_solve(coords))
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": "tsx_tunnel_p1_dp_newton_solve_wall",
+                "value": wall,
+                "unit": "s",
+                "vs_baseline": BASELINE_WALL_S / wall,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

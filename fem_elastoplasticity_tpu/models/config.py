@@ -48,6 +48,9 @@ class FootingConfig:
     accept_tol: float = 1e-10
     max_steps: int = 1000  # history buffer length (P:1013)
     solver: str = "dense"  # "dense" | "cg"
+    # Reproduce reference defect #2 (apex plastic strain from trial strain,
+    # SURVEY.md §2.3) for bit-level comparison runs:
+    bug_compatible_apex: bool = False
     dtype: str = "float64"
 
 

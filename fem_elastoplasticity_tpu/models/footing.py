@@ -1,0 +1,129 @@
+"""Drucker-Prager strip footing (benchmark B).
+
+Parity target: `Plasticity2D_DP/pythonFEM.py:901-1157`.  A rigid footing
+(inhomogeneous Dirichlet on the top edge, x <= 1.0001) is pushed into a
+near-incompressible (nu = 0.48) elastoplastic half-space; the load factor
+ramps adaptively with the pressure-based d_zeta doubling rule
+(P:1109-1110).  Anchors (SURVEY.md §8.4): 17 accepted steps to zeta = 1,
+terminating with "maximal load factor".
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.structured import Mesh, square_mesh
+from ..ops import assembly as asm
+from ..ops.elements import volume_element
+from ..solve.newton import NewtonSettings, build_load_stepper
+from .config import FootingConfig
+from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+
+
+class FootingResult(NamedTuple):
+    u: jnp.ndarray  # (n_n, 2)
+    ep: jnp.ndarray
+    zeta_hist: jnp.ndarray
+    pressure_hist: jnp.ndarray  # normalized mean footing pressure (P:1105-1107)
+    n_steps: int
+    n_newton_total: int
+    n_plastic: int
+    mesh: Mesh
+
+
+def build_mesh(cfg: FootingConfig) -> Mesh:
+    """Footing mesh + BCs (`Plasticity2D_DP/pythonFEM.py:175-184`)."""
+    mesh = square_mesh(cfg.level, cfg.etype, cfg.size_xy)
+    coords = mesh.coords
+    footing = (coords[:, 1] == cfg.size_xy) & (coords[:, 0] <= 1.0001)
+    dirichlet = np.zeros((mesh.n_nodes, 2))
+    dirichlet[footing, 1] = 1.0
+    free = coords > 0.0
+    free[footing, 1] = False
+    free[coords[:, 0] == cfg.size_xy, 0] = False
+    mesh.dirichlet = dirichlet
+    mesh.free = free
+    return mesh
+
+
+def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
+    mesh = build_mesh(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+
+    coords = jnp.asarray(mesh.coords, dtype)
+    elems = jnp.asarray(mesh.elems)
+    dirichlet_flat = jnp.asarray(mesh.dirichlet.reshape(-1), dtype)
+    footing_nodes = jnp.asarray(mesh.dirichlet[:, 1] > 0)
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=1,  # reference starts its history at index 1 (P:1025)
+    )
+
+    @jax.jit
+    def run(coords):
+        geom = asm.compute_geometry(coords, elems, ref)
+        d_el = elastic_tangent(shear, bulk, dtype)
+
+        # elastic predictor with inhomogeneous Dirichlet (P:996-1004):
+        # Ud = -d_zeta * dirichlet; K u = -K Ud on free DOFs
+        ud = -cfg.d_zeta * dirichlet_flat
+        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        f = -asm.tangent_matvec(geom, D, ud)
+        ke = asm.element_stiffness(geom, D)
+        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        u_free = jax.scipy.linalg.cho_solve(cho, f[free_idx])
+        U_it0 = ud.at[free_idx].set(u_free)
+
+        def monitor(u, s):
+            # normalized mean footing pressure: -mean over footing nodes of
+            # the nodal projection of s_yy, / cohesion (P:1105-1107)
+            p_node = asm.project_to_nodes(
+                geom, ref, s[:, 1].reshape(geom.n_elems, geom.n_q)
+            )
+            return -jnp.sum(jnp.where(footing_nodes, p_node, 0.0)) / (
+                footing_nodes.sum() * cfg.cohesion
+            )
+
+        def accept_hook(pressure, pressure_old, crit):
+            # double d_zeta while the pressure curve is still steep-free
+            # and Newton converged tightly (P:1109-1110)
+            factor = jnp.where(
+                (pressure - pressure_old < 0.1) & (crit < cfg.newton_tol), 2.0, 1.0
+            )
+            return pressure, factor
+
+        stepper = build_load_stepper(
+            geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
+            e0_dir=None, monitor=monitor, accept_hook=accept_hook,
+            solver=cfg.solver, apex_ep_uses_trial=cfg.bug_compatible_apex,
+        )
+        return stepper(U_it0, 0.0, cfg.d_zeta)
+
+    res = run(coords)
+    return FootingResult(
+        u=res.u.reshape(-1, 2),
+        ep=res.ep,
+        zeta_hist=res.zeta_hist,
+        pressure_hist=res.monitor_hist,
+        n_steps=int(res.n_steps) - 1,  # step counter started at 1
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )

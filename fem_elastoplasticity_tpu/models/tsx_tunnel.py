@@ -26,6 +26,17 @@ from .config import TsxTunnelConfig
 _DATA = pathlib.Path(__file__).parent.parent / "data" / "tsx_tunnel_mesh.npz"
 
 
+class TsxResult(NamedTuple):
+    u: jnp.ndarray  # (n_n, 2)
+    ep: jnp.ndarray
+    zeta_hist: jnp.ndarray
+    displ_hist: jnp.ndarray  # tunnel-wall u_x history (T:1813)
+    n_steps: int
+    n_newton_total: int
+    n_plastic: int
+    mesh: Mesh
+
+
 def tsx_mesh(
     etype: ElementType = ElementType.P1, refine_levels: int = 0
 ) -> Mesh:
@@ -66,3 +77,175 @@ def initial_state(cfg: TsxTunnelConfig):
         / E
     )
     return s0, e0
+
+
+def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
+    """Run the excavation: elastic predictor + load-stepped Newton, one jit.
+
+    Parity: `tsx-tunnel/pythonFEM.py:1763-1832`.  Anchors (SURVEY.md §8.1):
+    17 accepted steps, 28 Newton iterations, final u_x(node 40) =
+    -1.979450e-03 at zeta = 1.
+    """
+    import jax
+
+    from ..ops import assembly as asm
+    from ..ops.elements import volume_element
+    from ..solve.newton import NewtonSettings, build_load_stepper
+    from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    dtype = jnp.dtype(cfg.dtype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial_state(cfg)
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+
+    coords = jnp.asarray(mesh.coords, dtype)
+    elems = jnp.asarray(mesh.elems)
+    monitor_dof = 2 * cfg.monitor_node  # u_x of the tunnel-wall node
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+    )
+
+    @jax.jit
+    def run(coords):
+        geom = asm.compute_geometry(coords, elems, ref)
+        d_el = elastic_tangent(shear, bulk, dtype)
+
+        # initial-stress force F0 = B^T (w * s0[:3])  (T:1737)
+        s0_field = jnp.broadcast_to(
+            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
+        )
+        f0 = asm.internal_force(geom, s0_field)
+
+        # elastic predictor (T:1748): K u = -F0 on free DOFs
+        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        ke = asm.element_stiffness(geom, D)
+        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
+        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
+
+        stepper = build_load_stepper(
+            geom,
+            free_idx,
+            fmap,
+            n_free,
+            shear,
+            bulk,
+            eta,
+            c,
+            settings,
+            e0_dir=jnp.asarray(e0, dtype),
+            monitor=lambda u, s: u[monitor_dof],
+            solver=cfg.solver,
+        )
+        return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
+
+    res = run(coords)
+    return TsxResult(
+        u=res.u.reshape(-1, 2),
+        ep=res.ep,
+        zeta_hist=res.zeta_hist,
+        displ_hist=res.monitor_hist,
+        n_steps=int(res.n_steps),
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )
+
+
+def solve_sharded(
+    cfg: TsxTunnelConfig = TsxTunnelConfig(), n_devices: Optional[int] = None
+) -> TsxResult:
+    """Multi-chip tsx solve: elements sharded over the device mesh.
+
+    The full load-stepped Newton (matrix-free CG) runs under `shard_map`;
+    the only collectives are psums of nodal partials.  Produces the same
+    trajectory as `solve(solver="cg")` on any device count.
+    """
+    import jax
+
+    from ..ops import assembly as asm
+    from ..ops.elements import volume_element
+    from ..parallel import sharding as shd
+    from ..solve.newton import NewtonSettings, build_load_stepper
+    from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    dtype = jnp.dtype(cfg.dtype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial_state(cfg)
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+
+    dev_mesh = shd.make_device_mesh(n_devices)
+    n_shards = dev_mesh.devices.size
+    elems_p, n_real = shd.pad_elements(mesh.coords, mesh.elems, n_shards)
+    coords = jnp.asarray(mesh.coords, dtype)
+    geom = shd.sharded_geometry(coords, elems_p, n_real, ref, dev_mesh)
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+    )
+    monitor_dof = 2 * cfg.monitor_node
+
+    def build_fn(local_geom, axis):
+        return build_load_stepper(
+            local_geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
+            e0_dir=jnp.asarray(e0, dtype),
+            monitor=lambda u, s: u[monitor_dof],
+            solver="cg",
+            axis_name=axis,
+        )
+
+    run_sharded = shd.sharded_stepper(dev_mesh, geom, build_fn)
+
+    @jax.jit
+    def run():
+        # elastic predictor: replicated dense solve (small), sharded force
+        d_el = elastic_tangent(shear, bulk, dtype)
+        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        s0_field = jnp.broadcast_to(
+            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
+        )
+        f0 = asm.internal_force(geom, s0_field)
+        ke = asm.element_stiffness(geom, D)
+        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
+        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
+        return run_sharded(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
+
+    res = run()
+    return TsxResult(
+        u=res.u.reshape(-1, 2),
+        ep=res.ep,
+        zeta_hist=res.zeta_hist,
+        displ_hist=res.monitor_hist,
+        n_steps=int(res.n_steps),
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )

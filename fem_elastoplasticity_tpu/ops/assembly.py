@@ -126,16 +126,25 @@ def strains(geom: Geometry, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("eqak,ek->eqa", geom.B, ue)
 
 
-def internal_force(geom: Geometry, s3: jnp.ndarray) -> jnp.ndarray:
+def internal_force(
+    geom: Geometry, s3: jnp.ndarray, axis_name: Optional[str] = None
+) -> jnp.ndarray:
     """F = B^T (weight * s) scattered to (2*n_n,).
 
-    Args: s3 (n_e, n_q, 3) stress (first three Voigt components).
+    Args:
+      s3: (n_e, n_q, 3) stress (first three Voigt components).
+      axis_name: if set, `geom` holds this device's element shard and the
+        scattered nodal partials are `psum`-reduced over the named mesh
+        axis (SPMD assembly: element-local work + one ICI collective).
     Parity: `tsx-tunnel/pythonFEM.py:1778`.
     """
     fe = jnp.einsum("eqak,eqa->ek", geom.B, geom.weight[..., None] * s3)
-    return jax.ops.segment_sum(
+    f = jax.ops.segment_sum(
         fe.reshape(-1), geom.edofs.reshape(-1), num_segments=2 * geom.n_nodes
     )
+    if axis_name is not None:
+        f = jax.lax.psum(f, axis_name)
+    return f
 
 
 def element_stiffness(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
@@ -147,18 +156,24 @@ def element_stiffness(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("eqai,eqab,eqbj->eij", geom.B, wd, geom.B)
 
 
-def tangent_matvec(geom: Geometry, d: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def tangent_matvec(
+    geom: Geometry, d: jnp.ndarray, v: jnp.ndarray, axis_name: Optional[str] = None
+) -> jnp.ndarray:
     """Matrix-free K v: gather -> strain -> D -> B^T -> scatter.
 
     This is the CG workhorse: no sparse matrix is ever materialized
-    (SURVEY.md §2.4 table: replaces scipy spsolve/CSR matvec).
+    (SURVEY.md §2.4 table: replaces scipy spsolve/CSR matvec).  With
+    `axis_name`, v is replicated, elements are sharded, and the result is
+    psum-reduced — the only cross-device communication in the solver.
     """
     e = strains(geom, v)
     s = jnp.einsum("eqab,eqb->eqa", d, e)
-    return internal_force(geom, s)
+    return internal_force(geom, s, axis_name=axis_name)
 
 
-def node_block_diagonal(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
+def node_block_diagonal(
+    geom: Geometry, d: jnp.ndarray, axis_name: Optional[str] = None
+) -> jnp.ndarray:
     """2x2 nodal diagonal blocks of K for block-Jacobi preconditioning.
 
     Returns (n_n, 2, 2).
@@ -169,9 +184,12 @@ def node_block_diagonal(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
     ke = ke.reshape(geom.n_elems, n_p, 2, n_p, 2)
     diag = jnp.einsum("epipj->epij", ke)  # (n_e, n_p, 2, 2)
     nodes = geom.edofs[:, ::2] // 2  # (n_e, n_p)
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         diag.reshape(-1, 2, 2), nodes.reshape(-1), num_segments=geom.n_nodes
     )
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Material-parameter ensembles: `vmap` over (cohesion, friction angle).
+
+BASELINE.md config: "64-way (cohesion, friction) ensemble via vmap on the
+largest tsx-tunnel mesh, shared assembly structure".  The geometry tables
+(B, weights, DOF maps) are computed once and shared; the entire adaptive
+load-stepped Newton solve — return mapping, assembly, linear solves,
+adaptive d_zeta control — is batched with `vmap`, so XLA fuses the member
+solves into batched kernels (batched LU / batched einsum on the MXU).
+
+Each ensemble member follows its *own* adaptive schedule; `vmap` of
+`lax.while_loop` keeps iterating until every member is done, masking
+finished lanes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import TsxTunnelConfig
+from ..models.materials import drucker_prager_fit, elastic_tangent, lame_moduli
+from ..models.tsx_tunnel import initial_state, tsx_mesh
+from ..ops import assembly as asm
+from ..ops.elements import volume_element
+from ..solve.newton import NewtonSettings, build_load_stepper
+
+
+class EnsembleResult(NamedTuple):
+    u: jnp.ndarray  # (n_b, n_n, 2)
+    zeta_hist: jnp.ndarray  # (n_b, max_steps)
+    monitor_hist: jnp.ndarray  # (n_b, max_steps)
+    n_steps: jnp.ndarray  # (n_b,)
+    n_newton_total: jnp.ndarray  # (n_b,)
+    n_plastic: jnp.ndarray  # (n_b,)
+
+
+def material_grid(
+    cohesions: np.ndarray, friction_angles: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cartesian (cohesion x friction) grid -> flat (eta, c) arrays."""
+    cc, ff = np.meshgrid(cohesions, friction_angles, indexing="ij")
+    eta, c = drucker_prager_fit(cc.ravel(), ff.ravel())
+    return eta, c
+
+
+def solve_tsx_ensemble(
+    etas: jnp.ndarray,
+    cs: jnp.ndarray,
+    cfg: TsxTunnelConfig = TsxTunnelConfig(),
+    solver: Optional[str] = None,
+) -> EnsembleResult:
+    """Batch of tsx excavation solves over Drucker-Prager parameters.
+
+    Args:
+      etas, cs: (n_b,) plane-strain DP parameters per ensemble member
+        (see `material_grid`).
+    """
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    dtype = jnp.dtype(cfg.dtype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    s0, e0 = initial_state(cfg)
+    solver = solver or cfg.solver
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+    coords = jnp.asarray(mesh.coords, dtype)
+    elems = jnp.asarray(mesh.elems)
+    monitor_dof = 2 * cfg.monitor_node
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+    )
+
+    @jax.jit
+    def run(etas, cs):
+        geom = asm.compute_geometry(coords, elems, ref)
+        d_el = elastic_tangent(shear, bulk, dtype)
+
+        # elastic predictor is material-batch independent: compute once
+        s0_field = jnp.broadcast_to(
+            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
+        )
+        f0 = asm.internal_force(geom, s0_field)
+        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        ke = asm.element_stiffness(geom, D)
+        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        u_el_free = jnp.linalg.solve(K_free, -f0[free_idx])
+        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
+        U_it0 = cfg.d_zeta * u_elast
+
+        def one(eta, c):
+            stepper = build_load_stepper(
+                geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
+                e0_dir=jnp.asarray(e0, dtype),
+                monitor=lambda u, s: u[monitor_dof],
+                solver=solver,
+            )
+            return stepper(U_it0, 0.0, cfg.d_zeta)
+
+        return jax.vmap(one)(etas, cs)
+
+    res = run(jnp.asarray(etas, dtype), jnp.asarray(cs, dtype))
+    return EnsembleResult(
+        u=res.u.reshape(res.u.shape[0], -1, 2),
+        zeta_hist=res.zeta_hist,
+        monitor_hist=res.monitor_hist,
+        n_steps=res.n_steps,
+        n_newton_total=res.n_newton_total,
+        n_plastic=res.n_plastic,
+    )

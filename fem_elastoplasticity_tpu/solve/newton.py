@@ -1,0 +1,280 @@
+"""Load-stepped semi-smooth Newton, entirely under one `jit`.
+
+TPU-native redesign of the reference's host-side Python loops
+(`tsx-tunnel/pythonFEM.py:1763-1832`, `Plasticity2D_DP/pythonFEM.py:1028-1131`):
+the outer adaptive load stepping is a `lax.while_loop` carrying
+`(U, U_old, U_it, Ep, zeta, zeta_old, d_zeta, d_zeta_old, step, ...)`, the
+inner Newton iteration a nested `lax.while_loop`, histories are fixed-size
+arrays updated in place — zero host round-trips per solve.
+
+The adaptive controller is observable behavior and is reproduced exactly:
+  * accept a step when the energy-norm criterion < accept_tol (1e-10),
+  * halve d_zeta on divergence (NaN criterion counts as divergence),
+  * problem hook may double d_zeta (footing pressure rule),
+  * stop when zeta_old >= zeta_max or d_zeta < d_zeta_min,
+  * warm start U_it = d_zeta*(U - U_old)/d_zeta_old + U between trips.
+
+Newton semantics parity (P:1040-1087): the iterate is updated *before* the
+tolerance test; a NaN criterion aborts without updating; the criterion is
+q1/(q2+q3) with q_i energy norms in the **elastic** stiffness, evaluated
+matrix-free here.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.materials import drucker_prager_return_map, elastic_tangent
+from ..ops import assembly as asm
+from .cg import block_jacobi_preconditioner, solve_cg
+
+
+def _spd_solve(K, b):
+    """Dense SPD solve via Cholesky (TPU-supported in f64)."""
+    c, lower = jax.scipy.linalg.cho_factor(K)
+    return jax.scipy.linalg.cho_solve((c, lower), b)
+
+
+class LoadSteppingResult(NamedTuple):
+    u: jnp.ndarray  # (2*n_n,) converged displacement
+    ep: jnp.ndarray  # (n_int, 4) plastic strain
+    zeta_hist: jnp.ndarray  # (max_steps,)
+    monitor_hist: jnp.ndarray  # (max_steps,)
+    n_steps: jnp.ndarray  # accepted steps
+    n_newton_total: jnp.ndarray  # total inner iterations
+    zeta: jnp.ndarray  # final accepted load factor
+    d_zeta: jnp.ndarray
+    n_plastic: jnp.ndarray  # plastic integration points at the final state
+
+
+class NewtonSettings(NamedTuple):
+    maxit: int
+    newton_tol: float
+    accept_tol: float
+    d_zeta_min: float
+    zeta_max: float
+    max_steps: int  # history length
+    step0: int  # first history index written (footing: 1, tsx: 0)
+    max_trips: int = 10000  # safety bound on outer while_loop
+
+
+def build_load_stepper(
+    geom: asm.Geometry,
+    free_idx: jnp.ndarray,
+    fmap: jnp.ndarray,
+    n_free: int,
+    shear: float,
+    bulk: float,
+    eta: float,
+    c: float,
+    settings: NewtonSettings,
+    e0_dir: Optional[jnp.ndarray] = None,
+    monitor: Optional[Callable] = None,
+    accept_hook: Optional[Callable] = None,
+    solver: str = "dense",
+    cg_tol: float = 1e-14,
+    cg_maxiter: int = 2000,
+    apex_ep_uses_trial: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """Build the jittable load-stepping driver.
+
+    Args:
+      geom:       precomputed assembly geometry.
+      free_idx:   (n_free,) indices of free DOFs in the flat DOF vector.
+      fmap:       (2*n_n,) free-DOF map for dense assembly (dense solver).
+      e0_dir:     (4,) initial-strain direction; the return map sees
+                  e0 = zeta * e0_dir (tsx excavation).  None -> no e0.
+      monitor:    (u_flat, s) -> scalar recorded per accepted step.
+      accept_hook:(monitor_value, aux, criterion) -> (aux', dzeta_factor);
+                  default keeps d_zeta (tsx).  Footing doubles it when the
+                  pressure increment is small (P:1109-1110).
+      solver:     "dense" (reference-parity LU) or "cg" (matrix-free PCG).
+      axis_name:  mesh axis over which elements are sharded (shard_map
+                  SPMD).  Nodal reductions psum over it; DOF vectors and
+                  the Newton control flow are replicated, so every device
+                  executes the identical adaptive schedule.
+
+    Returns run(U_it0, aux0) -> LoadSteppingResult, a jittable function.
+    """
+    dtype = geom.B.dtype
+    n_dofs = 2 * geom.n_nodes
+    d_el = elastic_tangent(shear, bulk, dtype)
+    free_mask = jnp.zeros((n_dofs,), bool).at[free_idx].set(True)
+
+    def return_map(u_flat, ep, zeta, apply=False):
+        e = asm.strains(geom, u_flat).reshape(-1, 3)
+        e0 = None if e0_dir is None else zeta * e0_dir
+        return drucker_prager_return_map(
+            e, ep, shear, bulk, eta, c, e0=e0, apply_plastic_strain=apply,
+            apex_ep_uses_trial=apex_ep_uses_trial,
+        )
+
+    def elastic_norm(v):
+        s = asm.strains(geom, v) @ d_el.T
+        return jnp.sqrt(v @ asm.internal_force(geom, s, axis_name=axis_name))
+
+    def newton_solve(rm_ds, f_int, dU_prev):
+        """One Newton linear solve: K_tangent dU = -F on free DOFs."""
+        d = rm_ds.reshape(geom.n_elems, geom.n_q, 3, 3)
+        if solver == "dense":
+            ke = asm.element_stiffness(geom, d)
+            K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+            if axis_name is not None:
+                K_free = jax.lax.psum(K_free, axis_name)
+            # Cholesky: the consistent tangent is symmetric PSD (associated
+            # flow); TPU XLA implements f64 cholesky/triangular_solve but
+            # not LU.  An indefinite matrix yields NaN -> the NaN guard
+            # treats it as divergence, like the reference (P:1076-1078).
+            dU_free = _spd_solve(K_free, -f_int[free_idx])
+            return jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
+        blocks = asm.node_block_diagonal(geom, d, axis_name=axis_name)
+        pre = block_jacobi_preconditioner(blocks, free_mask.reshape(-1, 2))
+        res = solve_cg(
+            lambda v: asm.tangent_matvec(geom, d, v, axis_name=axis_name),
+            -f_int,
+            free_mask,
+            x0=dU_prev,
+            precond=pre,
+            tol=cg_tol,
+            maxiter=cg_maxiter,
+        )
+        return res.x
+
+    def inner_newton(U_it, ep, zeta):
+        """Semi-smooth Newton at fixed load factor."""
+        big = jnp.asarray(jnp.inf, dtype)
+
+        def cond(carry):
+            _, _, crit, it, nan = carry
+            return (~nan) & (crit >= settings.newton_tol) & (it < settings.maxit)
+
+        def body(carry):
+            U_it, dU_prev, _, it, _ = carry
+            rm = return_map(U_it, ep, zeta)
+            f_int = asm.internal_force(
+                geom, rm.s[:, :3].reshape(geom.n_elems, geom.n_q, 3),
+                axis_name=axis_name,
+            )
+            dU = newton_solve(rm.ds, f_int, dU_prev)
+            U_new = U_it + dU
+            q1 = elastic_norm(dU)
+            q2 = elastic_norm(U_it)
+            q3 = elastic_norm(U_new)
+            crit = q1 / (q2 + q3)
+            nan = jnp.isnan(crit)
+            U_next = jnp.where(nan, U_it, U_new)
+            return (U_next, dU, crit, it + 1, nan)
+
+        U, _, crit, nits, nan = jax.lax.while_loop(
+            cond, body, (U_it, jnp.zeros_like(U_it), big, jnp.asarray(0), jnp.asarray(False))
+        )
+        crit = jnp.where(nan, jnp.asarray(jnp.nan, dtype), crit)
+        return U, crit, nits
+
+    mon = monitor if monitor is not None else (lambda u, s: jnp.asarray(0.0, dtype))
+    hook = accept_hook if accept_hook is not None else (
+        lambda m, aux, crit: (aux, jnp.asarray(1.0, dtype))
+    )
+
+    def run(U_it0, aux0, d_zeta0):
+        zeros_h = jnp.zeros((settings.max_steps,), dtype)
+
+        class C(NamedTuple):
+            U: jnp.ndarray
+            U_old: jnp.ndarray
+            U_it: jnp.ndarray
+            ep: jnp.ndarray
+            zeta_old: jnp.ndarray
+            d_zeta: jnp.ndarray
+            d_zeta_old: jnp.ndarray
+            step: jnp.ndarray
+            aux: jnp.ndarray
+            zeta_hist: jnp.ndarray
+            mon_hist: jnp.ndarray
+            nits_total: jnp.ndarray
+            trips: jnp.ndarray
+            done: jnp.ndarray
+
+        n_int = geom.n_int
+        c0 = C(
+            U=jnp.zeros_like(U_it0),
+            U_old=-U_it0,
+            U_it=U_it0,
+            ep=jnp.zeros((n_int, 4), dtype),
+            zeta_old=jnp.asarray(0.0, dtype),
+            d_zeta=jnp.asarray(d_zeta0, dtype),
+            d_zeta_old=jnp.asarray(d_zeta0, dtype),
+            step=jnp.asarray(settings.step0),
+            aux=jnp.asarray(aux0, dtype),
+            zeta_hist=zeros_h,
+            mon_hist=zeros_h,
+            nits_total=jnp.asarray(0),
+            trips=jnp.asarray(0),
+            done=jnp.asarray(False),
+        )
+
+        def cond(s):
+            return (~s.done) & (s.trips < settings.max_trips)
+
+        def body(s):
+            zeta = s.zeta_old + s.d_zeta
+            U_conv, crit, nits = inner_newton(s.U_it, s.ep, zeta)
+            accepted = crit < settings.accept_tol  # False for NaN
+
+            rm = return_map(U_conv, s.ep, zeta, apply=True)
+            m = mon(U_conv, rm.s)
+            aux_acc, factor = hook(m, s.aux, crit)
+
+            U = jnp.where(accepted, U_conv, s.U)
+            U_old = jnp.where(accepted, s.U, s.U_old)
+            ep = jnp.where(accepted, rm.ep, s.ep)
+            zeta_old = jnp.where(accepted, zeta, s.zeta_old)
+            d_zeta_old = jnp.where(accepted, s.d_zeta, s.d_zeta_old)
+            d_zeta = jnp.where(accepted, s.d_zeta * factor, s.d_zeta / 2)
+            aux = jnp.where(accepted, aux_acc, s.aux)
+
+            idx = jnp.minimum(s.step, settings.max_steps - 1)
+            zeta_hist = s.zeta_hist.at[idx].set(
+                jnp.where(accepted, zeta, s.zeta_hist[idx])
+            )
+            mon_hist = s.mon_hist.at[idx].set(
+                jnp.where(accepted, m, s.mon_hist[idx])
+            )
+            step = s.step + accepted.astype(s.step.dtype)
+
+            U_it = d_zeta * (U - U_old) / d_zeta_old + U
+            # the 1e-12 slack absorbs cross-backend f64 rounding in the
+            # zeta accumulation (TPU's emulated f64 rounds 17*(1/17) just
+            # below 1.0, which would trigger a spurious extra load step)
+            done = (zeta_old >= settings.zeta_max - 1e-12) | (
+                d_zeta < settings.d_zeta_min
+            )
+            return C(
+                U=U, U_old=U_old, U_it=U_it, ep=ep, zeta_old=zeta_old,
+                d_zeta=d_zeta, d_zeta_old=d_zeta_old, step=step, aux=aux,
+                zeta_hist=zeta_hist, mon_hist=mon_hist,
+                nits_total=s.nits_total + nits, trips=s.trips + 1, done=done,
+            )
+
+        s = jax.lax.while_loop(cond, body, c0)
+        rm_final = return_map(s.U, s.ep, s.zeta_old)
+        n_plast = rm_final.ind_p.sum()
+        if axis_name is not None:
+            n_plast = jax.lax.psum(n_plast, axis_name)
+        return LoadSteppingResult(
+            u=s.U,
+            ep=s.ep,
+            zeta_hist=s.zeta_hist,
+            monitor_hist=s.mon_hist,
+            n_steps=s.step,
+            n_newton_total=s.nits_total,
+            zeta=s.zeta_old,
+            d_zeta=s.d_zeta,
+            n_plastic=n_plast,
+        )
+
+    return run

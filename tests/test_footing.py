@@ -1,0 +1,72 @@
+"""Strip-footing Drucker-Prager end-to-end tests (SURVEY.md §8.4 anchors)."""
+import numpy as np
+import pytest
+
+from fem_elastoplasticity_tpu.models.config import FootingConfig
+from fem_elastoplasticity_tpu.models.footing import solve
+
+# pressure history of the unmodified reference run (P1, level 1), captured
+# via the in-repo instrumentation described in SURVEY.md §8.4
+REFERENCE_PRESSURES = np.array(
+    [
+        8.39724807,
+        13.20017031,
+        15.73188141,
+        16.14965303,
+        16.27589772,
+        16.3163306,
+        16.38698285,
+        16.5422787,
+        16.62435145,
+        16.69057978,
+        16.77442565,
+        16.83580515,
+        16.85149363,
+        16.84581189,
+        16.83867399,
+        16.83636362,
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def result():
+    return solve(FootingConfig())
+
+
+class TestAnchors:
+    def test_step_count_and_termination(self, result):
+        # 16 accepted steps reach zeta >= 1 ("maximal load factor")
+        assert result.n_steps == 16
+        assert np.asarray(result.zeta_hist).max() >= 1.0
+
+    def test_adaptive_doubling_schedule(self, result):
+        # d_zeta doubles repeatedly: zeta_hist ends at 1.032 (SURVEY §8.4)
+        z = np.asarray(result.zeta_hist[1:17])
+        assert abs(z[-1] - 1.032) < 1e-12
+        assert abs(z[0] - 1e-3) < 1e-15
+
+    def test_pressure_curve(self, result):
+        """Fixed-semantics run tracks the reference pressure curve.
+
+        The late-step gap (~2e-5 rel) is the reference's apex-ep aliasing
+        defect (SURVEY.md §2.3 #2), which we fix by default."""
+        mine = np.asarray(result.pressure_hist[1:17])
+        rel = np.abs(mine - REFERENCE_PRESSURES).max() / REFERENCE_PRESSURES.max()
+        assert rel < 1e-4
+
+    def test_bug_compatible_mode_matches_reference_tightly(self):
+        r = solve(FootingConfig(bug_compatible_apex=True))
+        mine = np.asarray(r.pressure_hist[1:17])
+        rel = np.abs(mine - REFERENCE_PRESSURES).max() / REFERENCE_PRESSURES.max()
+        assert rel < 1e-8
+
+    def test_limit_pressure_plateau(self, result):
+        # pressure plateaus near the bearing-capacity limit
+        p = np.asarray(result.pressure_hist[1:17])
+        assert abs(p[-1] - p[-4]) < 0.02 * p[-1]
+
+    def test_plasticity_develops(self, result):
+        # n_plastic is evaluated *after* the final plastic-strain update, so
+        # it is smaller than the in-step count (~770 in the reference run)
+        assert result.n_plastic > 300

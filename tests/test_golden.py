@@ -1,0 +1,104 @@
+"""Golden-file validation against the reference's MATLAB-produced CSVs.
+
+Provenance (SURVEY.md §8.2, empirically established):
+  * `k_tangent_qq.csv` — tangent stiffness on the 908 free DOFs of the P1
+    mesh, captured at a (near-)elastic state of the MATLAB run; differs
+    from the *Python* reference's elastic K by 5.8e-5 rel (a MATLAB<->Python
+    discrepancy, not ours), so it anchors at the 1e-4 level.
+  * `f0q.csv` — initial-stress force -F0 on the 3594 free DOFs of the P2
+    mesh; same ~1e-4 MATLAB gap (our F0 matches the Python reference's to
+    6e-13).
+  * `fq.csv` — a *converged Newton residual* (norm ~5e-14), reproduced as
+    "our converged residual is also numerically zero".
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+from fem_elastoplasticity_tpu.models.materials import (
+    drucker_prager_fit,
+    drucker_prager_return_map,
+    elastic_tangent,
+    lame_moduli,
+)
+from fem_elastoplasticity_tpu.models.tsx_tunnel import initial_state, solve, tsx_mesh
+from fem_elastoplasticity_tpu.ops import assembly as asm
+from fem_elastoplasticity_tpu.ops.elements import ElementType, volume_element
+
+CFG = TsxTunnelConfig()
+
+
+def _geom(etype):
+    mesh = tsx_mesh(etype)
+    ref = volume_element(etype)
+    geom = asm.compute_geometry(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.elems), ref
+    )
+    return mesh, ref, geom
+
+
+class TestGolden:
+    def test_k_tangent_qq(self, reference_dir):
+        kt = np.genfromtxt(
+            reference_dir / "tsx-tunnel" / "k_tangent_qq.csv", delimiter=","
+        )
+        mesh, ref, geom = _geom(ElementType.P1)
+        G, K = lame_moduli(CFG.young, CFG.poisson)
+        D = jnp.broadcast_to(
+            elastic_tangent(G, K), (geom.n_elems, geom.n_q, 3, 3)
+        )
+        ke = asm.element_stiffness(geom, D)
+        fmap, n_free = asm.free_dof_map(mesh.free)
+        Kf = np.asarray(
+            asm.assemble_dense_free(ke, geom.edofs, jnp.asarray(fmap), n_free)
+        )
+        assert Kf.shape == (908, 908)
+        rel = np.linalg.norm(Kf - kt) / np.linalg.norm(kt)
+        assert rel < 1e-4  # MATLAB<->Python floor is 5.8e-5
+        # our matrix must be exactly symmetric
+        assert np.abs(Kf - Kf.T).max() < 1e-9 * np.abs(Kf).max()
+
+    def test_f0q(self, reference_dir):
+        f0q = np.genfromtxt(reference_dir / "tsx-tunnel" / "f0q.csv", delimiter=",")
+        mesh, ref, geom = _geom(ElementType.P2)
+        s0, _ = initial_state(CFG)
+        s0f = jnp.broadcast_to(jnp.asarray(s0[:3]), (geom.n_elems, geom.n_q, 3))
+        F0 = np.asarray(asm.internal_force(geom, s0f))[mesh.free.reshape(-1)]
+        assert F0.shape == (3594,)
+        rel = np.abs(F0 - f0q).max() / np.abs(f0q).max()
+        assert rel < 2e-4  # MATLAB<->Python floor is 1.03e-4
+
+    def test_fq_residual_is_converged(self, reference_dir):
+        fq = np.genfromtxt(reference_dir / "tsx-tunnel" / "fq.csv", delimiter=",")
+        assert np.linalg.norm(fq) < 1e-12  # golden file is numerical noise
+        # our converged state: residual on free DOFs also numerically zero
+        res = solve(CFG)
+        mesh, ref, geom = _geom(ElementType.P1)
+        G, K = lame_moduli(CFG.young, CFG.poisson)
+        eta, c = drucker_prager_fit(CFG.cohesion, CFG.friction_angle)
+        _, e0 = initial_state(CFG)
+        e3 = asm.strains(geom, jnp.asarray(np.asarray(res.u).reshape(-1))).reshape(-1, 3)
+        rm = drucker_prager_return_map(
+            e3, res.ep, G, K, eta, c, e0=jnp.asarray(e0)
+        )
+        F = np.asarray(
+            asm.internal_force(
+                geom, rm.s[:, :3].reshape(geom.n_elems, geom.n_q, 3)
+            )
+        )[mesh.free.reshape(-1)]
+        # same convergence scale as the golden residual (‖fq‖ ≈ 5e-14);
+        # normalize by the force scale of the problem
+        f_scale = np.abs(
+            np.asarray(
+                asm.internal_force(
+                    geom,
+                    jnp.broadcast_to(
+                        jnp.asarray(initial_state(CFG)[0][:3]),
+                        (geom.n_elems, geom.n_q, 3),
+                    ),
+                )
+            )
+        ).max()
+        assert np.linalg.norm(F) < 1e-9 * f_scale

@@ -1,0 +1,61 @@
+"""Multi-device (shard_map) and ensemble (vmap) tests on the virtual CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+from fem_elastoplasticity_tpu.models.tsx_tunnel import solve, solve_sharded
+from fem_elastoplasticity_tpu.parallel.ensemble import material_grid, solve_tsx_ensemble
+
+
+@pytest.fixture(scope="module")
+def single_cg():
+    return solve(TsxTunnelConfig(solver="cg"))
+
+
+class TestShardMap:
+    @pytest.mark.parametrize("n_devices", [2, 8])
+    def test_sharded_matches_single_device(self, single_cg, n_devices):
+        if len(jax.devices()) < n_devices:
+            pytest.skip("not enough devices")
+        r = solve_sharded(TsxTunnelConfig(), n_devices=n_devices)
+        assert r.n_steps == single_cg.n_steps
+        assert r.n_newton_total == single_cg.n_newton_total
+        np.testing.assert_allclose(
+            np.asarray(r.u), np.asarray(single_cg.u), atol=1e-14
+        )
+
+    def test_padding_inert(self):
+        """887 elements over 8 devices needs padding; results identical."""
+        if len(jax.devices()) < 3:
+            pytest.skip("not enough devices")
+        # 887 is prime: every shard count pads
+        r3 = solve_sharded(TsxTunnelConfig(zeta_max=3 / 17), n_devices=3)
+        r2 = solve_sharded(TsxTunnelConfig(zeta_max=3 / 17), n_devices=2)
+        np.testing.assert_allclose(np.asarray(r3.u), np.asarray(r2.u), atol=1e-14)
+
+
+class TestEnsemble:
+    def test_vmap_matches_individual_solves(self):
+        cohesions = np.array([15.0, 18.7])
+        frictions = np.array([49.0 * np.pi / 180])
+        eta, c = material_grid(cohesions, frictions)
+        ens = solve_tsx_ensemble(eta, c)
+        assert ens.u.shape[0] == 2
+        # member 1 is the default material: must match the single solve
+        ref = solve(TsxTunnelConfig())
+        np.testing.assert_allclose(
+            np.asarray(ens.u[1]), np.asarray(ref.u), atol=1e-12
+        )
+        assert int(ens.n_steps[1]) == ref.n_steps
+
+    def test_weaker_material_yields_more(self):
+        eta, c = material_grid(
+            np.array([10.0, 18.7]), np.array([49.0 * np.pi / 180])
+        )
+        ens = solve_tsx_ensemble(eta, c)
+        # lower cohesion -> more plastic points, larger wall displacement
+        assert int(ens.n_plastic[0]) >= int(ens.n_plastic[1])
+        assert abs(float(ens.monitor_hist[0, 16])) >= abs(
+            float(ens.monitor_hist[1, 16])
+        )
