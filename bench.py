@@ -7,6 +7,10 @@ measured); `vs_baseline` is the speedup over that.
 
 Prints exactly one JSON line.  Correctness is asserted against the
 behavioral anchors before timing (a fast wrong answer doesn't count).
+
+All arrays cross the jit boundary as arguments (never closure constants —
+the axon TPU runtime degrades ~300x after executing a program with
+embedded array constants; see ops/assembly.py).
 """
 from __future__ import annotations
 
@@ -28,28 +32,25 @@ def main() -> None:
     from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
     from fem_elastoplasticity_tpu.models.materials import (
         drucker_prager_fit,
-        elastic_tangent,
+        elastic_tangent_lanes,
         lame_moduli,
     )
     from fem_elastoplasticity_tpu.ops import assembly as asm
-    from fem_elastoplasticity_tpu.ops.elements import volume_element
+    from fem_elastoplasticity_tpu.ops.elements import tables, volume_element
     from fem_elastoplasticity_tpu.solve.newton import (
         NewtonSettings,
         build_load_stepper,
     )
 
-    cfg = TsxTunnelConfig()
+    cfg = TsxTunnelConfig(dense_mode="mixed")
     mesh = tsx.tsx_mesh(cfg.etype)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
-    s0, e0 = initial = tsx.initial_state(cfg)
+    s0, e0 = tsx.initial_state(cfg)
 
     ref = volume_element(cfg.etype)
     fmap_np, n_free = asm.free_dof_map(mesh.free)
-    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
-    fmap = jnp.asarray(fmap_np)
-    coords = jnp.asarray(mesh.coords)
-    elems = jnp.asarray(mesh.elems)
+    n_nodes = mesh.n_nodes
 
     settings = NewtonSettings(
         maxit=cfg.newton_maxit,
@@ -61,31 +62,43 @@ def main() -> None:
         step0=0,
     )
 
+    args = dict(
+        coords=jnp.asarray(mesh.coords),
+        elems=jnp.asarray(mesh.elems),
+        tab=tables(ref),
+        fmap=jnp.asarray(fmap_np),
+        free_idx=jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0]),
+        s0=jnp.asarray(s0),
+        e0=jnp.asarray(e0),
+    )
+
     @jax.jit
-    def full_solve(coords):
-        geom = asm.compute_geometry(coords, elems, ref)
-        d_el = elastic_tangent(shear, bulk, coords.dtype)
-        s0f = jnp.broadcast_to(
-            jnp.asarray(s0[:3], coords.dtype), (geom.n_elems, geom.n_q, 3)
-        )
+    def full_solve(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+        dtype = a["coords"].dtype
+        s0f = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0f)
-        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el = jnp.zeros((2 * geom.n_nodes,), coords.dtype).at[free_idx].set(
-            jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
+        u_el = (
+            jnp.zeros((2 * n_nodes,), dtype)
+            .at[a["free_idx"]]
+            .set(jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]]))
         )
         stepper = build_load_stepper(
-            geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
-            e0_dir=jnp.asarray(e0, coords.dtype),
+            geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
+            settings,
+            e0_dir=a["e0"],
             monitor=lambda u, s: u[2 * cfg.monitor_node],
             solver=cfg.solver,
+            dense_mode=cfg.dense_mode,
         )
         return stepper(cfg.d_zeta * u_el, 0.0, cfg.d_zeta)
 
     # warmup + correctness gate
-    res = jax.block_until_ready(full_solve(coords))
+    res = jax.block_until_ready(full_solve(args))
     u40 = float(res.u[2 * cfg.monitor_node])
     assert int(res.n_steps) == 17, f"step count {int(res.n_steps)} != 17"
     assert abs(u40 - ANCHOR_U40) / abs(ANCHOR_U40) < 1e-6, u40
@@ -94,7 +107,7 @@ def main() -> None:
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(full_solve(coords))
+        jax.block_until_ready(full_solve(args))
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
 

@@ -48,6 +48,7 @@ class FootingConfig:
     accept_tol: float = 1e-10
     max_steps: int = 1000  # history buffer length (P:1013)
     solver: str = "dense"  # "dense" | "cg"
+    dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # Reproduce reference defect #2 (apex plastic strain from trial strain,
     # SURVEY.md §2.3) for bit-level comparison runs:
     bug_compatible_apex: bool = False
@@ -74,4 +75,5 @@ class TsxTunnelConfig:
     monitor_node: int = 40  # tunnel-wall node whose u_x is recorded (T:1813)
     refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
     solver: str = "dense"  # "dense" | "cg"
+    dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     dtype: str = "float64"

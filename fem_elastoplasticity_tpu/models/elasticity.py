@@ -19,9 +19,9 @@ import numpy as np
 
 from ..mesh.structured import Mesh, square_with_hole_mesh
 from ..ops import assembly as asm
-from ..ops.elements import surface_element, volume_element
+from ..ops.elements import surface_element, tables, volume_element
 from .config import ElasticityConfig
-from .materials import elastic_tangent, lame_moduli
+from .materials import elastic_tangent_lanes, lame_moduli
 
 
 class ElasticityResult(NamedTuple):
@@ -64,29 +64,36 @@ def solve(cfg: ElasticityConfig = ElasticityConfig()) -> ElasticityResult:
     free_flat = jnp.asarray(mesh.free.reshape(-1))
     free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
 
+    args = dict(
+        coords=coords, ud=ud, elems=elems, neumann=neumann,
+        tab=tables(ref), stab=tables(surf), fmap=jnp.asarray(fmap),
+        free_idx=free_idx,
+        f_vol=jnp.asarray(cfg.volume_force, dtype),
+        f_trac=jnp.asarray(cfg.traction_force, dtype),
+    )
+    n_nodes = mesh.n_nodes
+
     @jax.jit
-    def run(coords, ud):
-        geom = asm.compute_geometry(coords, elems, ref)
-        D = jnp.broadcast_to(
-            elastic_tangent(shear, bulk, dtype), (geom.n_elems, geom.n_q, 3, 3)
-        )
-        f_v = asm.volume_force_vector(geom, ref, jnp.asarray(cfg.volume_force, dtype))
+    def run(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
+        f_v = asm.volume_force_vector(geom, a["tab"], a["f_vol"])
         f_t = asm.traction_force_vector(
-            coords, neumann, surf, jnp.asarray(cfg.traction_force, dtype), geom.n_nodes
+            a["coords"], a["neumann"], a["stab"], a["f_trac"], n_nodes
         )
         f_load = f_t + f_v
         # Dirichlet lift: f = f_load - K ud   (E:1147), matrix-free
-        f = f_load - asm.tangent_matvec(geom, D, ud)
+        f = f_load - asm.tangent_matvec(geom, D, a["ud"])
 
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, jnp.asarray(fmap), n_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_free = jax.scipy.linalg.cho_solve(cho, f[free_idx])
+        u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
 
-        u = ud.at[free_idx].set(u_free)
+        u = a["ud"].at[a["free_idx"]].set(u_free)
         # stored energy 0.5 u'Ku - f_load'u  (E:1171)
         energy = 0.5 * u @ asm.tangent_matvec(geom, D, u) - f_load @ u
         return u, energy
 
-    u, energy = run(coords, ud)
+    u, energy = run(args)
     return ElasticityResult(u=u.reshape(-1, 2), energy=energy, mesh=mesh)

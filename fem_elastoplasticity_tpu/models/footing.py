@@ -19,8 +19,9 @@ from ..mesh.structured import Mesh, square_mesh
 from ..ops import assembly as asm
 from ..ops.elements import volume_element
 from ..solve.newton import NewtonSettings, build_load_stepper
+from ..ops.elements import tables
 from .config import FootingConfig
-from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
 
 class FootingResult(NamedTuple):
@@ -64,6 +65,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
     elems = jnp.asarray(mesh.elems)
     dirichlet_flat = jnp.asarray(mesh.dirichlet.reshape(-1), dtype)
     footing_nodes = jnp.asarray(mesh.dirichlet[:, 1] > 0)
+    n_footing = int((mesh.dirichlet[:, 1] > 0).sum())
 
     settings = NewtonSettings(
         maxit=cfg.newton_maxit,
@@ -75,30 +77,34 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
         step0=1,  # reference starts its history at index 1 (P:1025)
     )
 
+    # all arrays pass through the jit boundary (axon constant pathology)
+    args = dict(
+        coords=coords, elems=elems, tab=tables(ref), fmap=fmap,
+        free_idx=free_idx, dirichlet=dirichlet_flat, footing=footing_nodes,
+    )
+    n_nodes = mesh.n_nodes
+
     @jax.jit
-    def run(coords):
-        geom = asm.compute_geometry(coords, elems, ref)
-        d_el = elastic_tangent(shear, bulk, dtype)
+    def run(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
 
         # elastic predictor with inhomogeneous Dirichlet (P:996-1004):
         # Ud = -d_zeta * dirichlet; K u = -K Ud on free DOFs
-        ud = -cfg.d_zeta * dirichlet_flat
-        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        ud = -cfg.d_zeta * a["dirichlet"]
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         f = -asm.tangent_matvec(geom, D, ud)
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_free = jax.scipy.linalg.cho_solve(cho, f[free_idx])
-        U_it0 = ud.at[free_idx].set(u_free)
+        u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
+        U_it0 = ud.at[a["free_idx"]].set(u_free)
 
         def monitor(u, s):
             # normalized mean footing pressure: -mean over footing nodes of
             # the nodal projection of s_yy, / cohesion (P:1105-1107)
-            p_node = asm.project_to_nodes(
-                geom, ref, s[:, 1].reshape(geom.n_elems, geom.n_q)
-            )
-            return -jnp.sum(jnp.where(footing_nodes, p_node, 0.0)) / (
-                footing_nodes.sum() * cfg.cohesion
+            p_node = asm.project_to_nodes(geom, s[1])
+            return -jnp.sum(jnp.where(a["footing"], p_node, 0.0)) / (
+                n_footing * cfg.cohesion
             )
 
         def accept_hook(pressure, pressure_old, crit):
@@ -110,13 +116,14 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             return pressure, factor
 
         stepper = build_load_stepper(
-            geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
-            e0_dir=None, monitor=monitor, accept_hook=accept_hook,
+            geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
+            settings, e0_dir=None, monitor=monitor, accept_hook=accept_hook,
             solver=cfg.solver, apex_ep_uses_trial=cfg.bug_compatible_apex,
+            dense_mode=cfg.dense_mode,
         )
         return stepper(U_it0, 0.0, cfg.d_zeta)
 
-    res = run(coords)
+    res = run(args)
     return FootingResult(
         u=res.u.reshape(-1, 2),
         ep=res.ep,

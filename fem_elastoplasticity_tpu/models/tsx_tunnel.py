@@ -89,9 +89,13 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     import jax
 
     from ..ops import assembly as asm
-    from ..ops.elements import volume_element
+    from ..ops.elements import tables, volume_element
     from ..solve.newton import NewtonSettings, build_load_stepper
-    from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+    from .materials import (
+        drucker_prager_fit,
+        elastic_tangent_lanes,
+        lame_moduli,
+    )
 
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     dtype = jnp.dtype(cfg.dtype)
@@ -118,42 +122,55 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         step0=0,
     )
 
+    # every array enters through the jit boundary as an argument — the axon
+    # TPU runtime degrades on programs with embedded array constants
+    args = dict(
+        coords=coords,
+        elems=elems,
+        tab=tables(ref),
+        fmap=fmap,
+        free_idx=free_idx,
+        s0=jnp.asarray(s0, dtype),
+        e0=jnp.asarray(e0, dtype),
+    )
+    n_nodes = mesh.n_nodes
+
     @jax.jit
-    def run(coords):
-        geom = asm.compute_geometry(coords, elems, ref)
-        d_el = elastic_tangent(shear, bulk, dtype)
+    def run(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
 
         # initial-stress force F0 = B^T (w * s0[:3])  (T:1737)
-        s0_field = jnp.broadcast_to(
-            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
-        )
+        s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0_field)
 
         # elastic predictor (T:1748): K u = -F0 on free DOFs
-        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
-        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
+        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]])
+        u_elast = (
+            jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
+        )
 
         stepper = build_load_stepper(
             geom,
-            free_idx,
-            fmap,
+            a["free_idx"],
+            a["fmap"],
             n_free,
             shear,
             bulk,
             eta,
             c,
             settings,
-            e0_dir=jnp.asarray(e0, dtype),
+            e0_dir=a["e0"],
             monitor=lambda u, s: u[monitor_dof],
             solver=cfg.solver,
+            dense_mode=cfg.dense_mode,
         )
         return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
 
-    res = run(coords)
+    res = run(args)
     return TsxResult(
         u=res.u.reshape(-1, 2),
         ep=res.ep,
@@ -178,10 +195,14 @@ def solve_sharded(
     import jax
 
     from ..ops import assembly as asm
-    from ..ops.elements import volume_element
+    from ..ops.elements import tables, volume_element
     from ..parallel import sharding as shd
     from ..solve.newton import NewtonSettings, build_load_stepper
-    from .materials import drucker_prager_fit, elastic_tangent, lame_moduli
+    from .materials import (
+        drucker_prager_fit,
+        elastic_tangent_lanes,
+        lame_moduli,
+    )
 
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     dtype = jnp.dtype(cfg.dtype)
@@ -195,10 +216,8 @@ def solve_sharded(
     fmap = jnp.asarray(fmap_np)
 
     dev_mesh = shd.make_device_mesh(n_devices)
-    n_shards = dev_mesh.devices.size
-    elems_p, n_real = shd.pad_elements(mesh.coords, mesh.elems, n_shards)
     coords = jnp.asarray(mesh.coords, dtype)
-    geom = shd.sharded_geometry(coords, elems_p, n_real, ref, dev_mesh)
+    geom = shd.sharded_geometry(coords, mesh.elems, ref, dev_mesh)
 
     settings = NewtonSettings(
         maxit=cfg.newton_maxit,
@@ -211,34 +230,42 @@ def solve_sharded(
     )
     monitor_dof = 2 * cfg.monitor_node
 
-    def build_fn(local_geom, axis):
+    def build_fn(local_geom, axis, free_idx_a, fmap_a, e0_a):
         return build_load_stepper(
-            local_geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
-            e0_dir=jnp.asarray(e0, dtype),
+            local_geom, free_idx_a, fmap_a, n_free, shear, bulk, eta, c,
+            settings,
+            e0_dir=e0_a,
             monitor=lambda u, s: u[monitor_dof],
             solver="cg",
             axis_name=axis,
         )
 
     run_sharded = shd.sharded_stepper(dev_mesh, geom, build_fn)
+    n_nodes = mesh.n_nodes
+    args = dict(
+        fmap=fmap, free_idx=free_idx,
+        s0=jnp.asarray(s0, dtype), e0=jnp.asarray(e0, dtype),
+    )
 
     @jax.jit
-    def run():
+    def run(a):
         # elastic predictor: replicated dense solve (small), sharded force
-        d_el = elastic_tangent(shear, bulk, dtype)
-        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
-        s0_field = jnp.broadcast_to(
-            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
-        )
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
+        s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0_field)
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[free_idx])
-        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
-        return run_sharded(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
+        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]])
+        u_elast = (
+            jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
+        )
+        return run_sharded(
+            cfg.d_zeta * u_elast, 0.0, cfg.d_zeta,
+            a["free_idx"], a["fmap"], a["e0"],
+        )
 
-    res = run()
+    res = run(args)
     return TsxResult(
         u=res.u.reshape(-1, 2),
         ep=res.ep,

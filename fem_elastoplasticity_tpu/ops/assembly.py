@@ -1,22 +1,27 @@
-"""Element-batched assembly kernels (the hot path).
+"""Element-batched assembly kernels (the hot path) — lane-major layout.
 
 TPU-native redesign of the reference's scipy-sparse assembly
-(`Elasticity2D/pythonFEM.py:368-477`): instead of a global sparse
-strain-displacement matrix B (3*n_int x 2*n_n) and two sparse GEMMs, we keep
-per-element dense tensors
+(`Elasticity2D/pythonFEM.py:368-477`).  Instead of a global sparse
+strain-displacement matrix and sparse GEMMs, we keep per-integration-point
+dense tensors in **structure-of-arrays, lane-major** layout — the minor
+(lane) dimension is always the integration-point axis, padded to a multiple
+of the TPU lane tile, so every elementwise op runs at full VPU width:
 
-    B       (n_e, n_q, 3, 2*n_p)   strain-displacement blocks
-    weight  (n_e, n_q)             |det J| * w_q
-    edofs   (n_e, 2*n_p)           interleaved global DOF indices
+    B       (3, 2*n_p, n_int)   strain-displacement blocks
+    weight  (n_int,)            |det J| * w_q
+    edofs_t (2*n_p, n_e)        global DOF indices (2*node + component)
 
-and express everything as einsum contractions (MXU) plus one
-`segment_sum` scatter over shared nodes (the only bandwidth-critical op).
-The integration-point order (element-major, quadrature-minor) matches the
-reference, so flattened (n_e*n_q, ...) arrays align index-for-index with the
-reference's (..., n_int) arrays.
+(A (n_int, 4)-major layout uses 4/128 lanes per vector register and was
+measured ~100x slower on v5e.)  All contractions over the tiny Voigt /
+local-node axes are unrolled broadcasts (vector FMAs over lanes); the only
+irregular ops are one gather (DOF values) and one `segment_sum` scatter
+(nodal accumulation) per operator application.
 
-All functions here are jittable and differentiable; geometry precomputation
-is itself a jitted batch of tiny matrix ops.
+Integration points are ordered element-major, quadrature-minor, matching
+the reference's (..., n_int) arrays index-for-index (padding appended at
+the end is inert: zero B, zero weight).
+
+All functions are jittable and differentiable.
 """
 from __future__ import annotations
 
@@ -28,32 +33,40 @@ import numpy as np
 
 from .elements import ReferenceElement, SurfaceElement
 
+LANE_PAD = 128  # pad element count so n_int fills TPU vector lanes
+
 
 class Geometry(NamedTuple):
     """Precomputed per-element quadrature geometry (pytree of arrays).
 
-    B:       (n_e, n_q, 3, 2*n_p) strain-displacement blocks
-    weight:  (n_e, n_q) quadrature weights including |det J|
-    edofs:   (n_e, 2*n_p) int32 global DOF indices (2*node + component)
-    n_nodes: static int — number of mesh nodes
+    B:        (3, 2*n_p, n_int) lane-major strain-displacement blocks
+    weight:   (n_int,) quadrature weights including |det J| (0 on padding)
+    edofs:    (n_e, 2*n_p) int32 global DOF indices
+    edofs_t:  (2*n_p, n_e) transposed copy (gather/scatter layout)
+    n_nodes:  static int — number of mesh nodes
+    n_q:      static int — quadrature points per element
+    n_real:   static int — real (non-padding) element count
     """
 
     B: jnp.ndarray
     weight: jnp.ndarray
     edofs: jnp.ndarray
+    edofs_t: jnp.ndarray
     n_nodes: int
+    n_q: int
+    n_real: int
 
     @property
-    def n_elems(self) -> int:
-        return self.B.shape[0]
-
-    @property
-    def n_q(self) -> int:
-        return self.B.shape[1]
+    def n_elems(self) -> int:  # including padding
+        return self.edofs.shape[0]
 
     @property
     def n_int(self) -> int:
-        return self.B.shape[0] * self.B.shape[1]
+        return self.B.shape[2]
+
+    @property
+    def n_p2(self) -> int:
+        return self.B.shape[1]
 
 
 def element_dofs(elems: jnp.ndarray) -> jnp.ndarray:
@@ -67,17 +80,23 @@ def element_dofs(elems: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_geometry(
-    coords: jnp.ndarray, elems: jnp.ndarray, ref: ReferenceElement
+    coords: jnp.ndarray,
+    elems: jnp.ndarray,
+    ref: ReferenceElement,
+    pad_to: int = LANE_PAD,
 ) -> Geometry:
     """Jacobians, physical gradients, B blocks and weights for all elements.
 
     Math parity with `get_elastic_stiffness_matrix`
-    (`Elasticity2D/pythonFEM.py:385-446`): J = [[sum x*dN1, sum y*dN1],
-    [sum x*dN2, sum y*dN2]], dphi = J^{-1} dN, weight = |det J| * w_q.
+    (`Elasticity2D/pythonFEM.py:385-446`): J = dN^T x_e, dphi = J^{-1} dN,
+    weight = |det J| * w_q.  Elements are zero-padded to a lane multiple.
     """
     dtype = jnp.asarray(coords).dtype
-    xe = jnp.asarray(coords)[jnp.asarray(elems)]  # (n_e, n_p, 2)
+    elems = jnp.asarray(elems)
+    n_e = elems.shape[0]
+    xe = jnp.asarray(coords)[elems]  # (n_e, n_p, 2)
     dN = jnp.asarray(ref.dN, dtype)  # (n_q, n_p, 2)
+    n_q, n_p, _ = dN.shape
 
     # Jacobian J[e,q,i,j] = sum_p dN[q,p,i] * xe[e,p,j]
     J = jnp.einsum("qpi,epj->eqij", dN, xe)
@@ -92,38 +111,68 @@ def compute_geometry(
         )
         / det[..., None, None]
     )
-    # physical gradients dphi[e,q,p,i] = inv[e,q,i,j] * dN[q,p,j]
+    # physical gradients dphi[e,q,p,i]
     dphi = jnp.einsum("eqij,qpj->eqpi", inv, dN)
+    weight = jnp.abs(det) * jnp.asarray(ref.w, dtype)[None, :]  # (n_e, n_q)
 
-    weight = jnp.abs(det) * jnp.asarray(ref.w, dtype)[None, :]
+    # lane-major B: (3, 2*n_p, n_e*n_q), interleaved DOFs (x0,y0,x1,y1,...)
+    dx = dphi[..., 0].transpose(2, 0, 1).reshape(n_p, -1)  # (n_p, n_int)
+    dy = dphi[..., 1].transpose(2, 0, 1).reshape(n_p, -1)
+    zero = jnp.zeros_like(dx)
+    row0 = jnp.stack([dx, zero], axis=1).reshape(2 * n_p, -1)
+    row1 = jnp.stack([zero, dy], axis=1).reshape(2 * n_p, -1)
+    row2 = jnp.stack([dy, dx], axis=1).reshape(2 * n_p, -1)
+    B = jnp.stack([row0, row1, row2], axis=0)  # (3, 2*n_p, n_int)
+    w = weight.reshape(-1)
 
-    n_e, n_q, n_p, _ = dphi.shape
-    B = jnp.zeros((n_e, n_q, 3, n_p, 2), dtype)
-    B = B.at[:, :, 0, :, 0].set(dphi[..., 0])
-    B = B.at[:, :, 1, :, 1].set(dphi[..., 1])
-    B = B.at[:, :, 2, :, 0].set(dphi[..., 1])
-    B = B.at[:, :, 2, :, 1].set(dphi[..., 0])
-    B = B.reshape(n_e, n_q, 3, 2 * n_p)
+    # pad element count so n_int is a lane multiple, with inert slots
+    n_e_total = n_e
+    while (n_e_total * n_q) % pad_to != 0:
+        n_e_total += 1
+    pad_e = n_e_total - n_e
+    if pad_e:
+        B = jnp.pad(B, ((0, 0), (0, 0), (0, pad_e * n_q)))
+        w = jnp.pad(w, (0, pad_e * n_q))
+        elems = jnp.pad(elems, ((0, pad_e), (0, 0)))
 
-    return Geometry(B=B, weight=weight, edofs=element_dofs(elems), n_nodes=coords.shape[0])
+    edofs = element_dofs(elems)
+    return Geometry(
+        B=B,
+        weight=w,
+        edofs=edofs,
+        edofs_t=edofs.T,
+        n_nodes=int(coords.shape[0]),
+        n_q=int(n_q),
+        n_real=int(n_e),
+    )
 
 
 # ---------------------------------------------------------------------------
-# strain / stress / force / stiffness contractions
+# strain / stress / force / stiffness contractions (lane-major)
 # ---------------------------------------------------------------------------
-def gather_element_dofs(geom: Geometry, u: jnp.ndarray) -> jnp.ndarray:
-    """u (2*n_n,) -> per-element DOF vectors (n_e, 2*n_p)."""
-    return u[geom.edofs]
+def dof_values(geom: Geometry, u: jnp.ndarray) -> jnp.ndarray:
+    """u (2*n_n,) -> per-integration-point DOF values (2*n_p, n_int)."""
+    ue = u[geom.edofs_t]  # (2*n_p, n_e)
+    if geom.n_q == 1:
+        return ue
+    return jnp.broadcast_to(
+        ue[:, :, None], (geom.n_p2, geom.n_elems, geom.n_q)
+    ).reshape(geom.n_p2, -1)
 
 
 def strains(geom: Geometry, u: jnp.ndarray) -> jnp.ndarray:
-    """Total strain at integration points: (n_e, n_q, 3).
+    """Total strain at integration points: (3, n_int), [e11, e22, 2e12].
 
-    Flattened (n_e*n_q, 3) matches the reference's `E = B @ U` reshaped
-    (3, n_int) (`tsx-tunnel/pythonFEM.py:1771`) transposed.
+    Matches the reference's `E = B @ U` reshaped (3, n_int)
+    (`tsx-tunnel/pythonFEM.py:1771`).
     """
-    ue = gather_element_dofs(geom, u)
-    return jnp.einsum("eqak,ek->eqa", geom.B, ue)
+    ui = dof_values(geom, u)
+    return (geom.B * ui[None, :, :]).sum(axis=1)
+
+
+def apply_tangent(d: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """s = D e per integration point: d (3, 3, n), e (3, n) -> (3, n)."""
+    return (d * e[None, :, :]).sum(axis=1)
 
 
 def internal_force(
@@ -132,28 +181,22 @@ def internal_force(
     """F = B^T (weight * s) scattered to (2*n_n,).
 
     Args:
-      s3: (n_e, n_q, 3) stress (first three Voigt components).
+      s3: (3, n_int) stress (first three Voigt components).
       axis_name: if set, `geom` holds this device's element shard and the
         scattered nodal partials are `psum`-reduced over the named mesh
         axis (SPMD assembly: element-local work + one ICI collective).
     Parity: `tsx-tunnel/pythonFEM.py:1778`.
     """
-    fe = jnp.einsum("eqak,eqa->ek", geom.B, geom.weight[..., None] * s3)
+    ws = geom.weight[None, :] * s3  # (3, n_int)
+    fk = (geom.B * ws[:, None, :]).sum(axis=0)  # (2*n_p, n_int)
+    if geom.n_q > 1:
+        fk = fk.reshape(geom.n_p2, geom.n_elems, geom.n_q).sum(axis=-1)
     f = jax.ops.segment_sum(
-        fe.reshape(-1), geom.edofs.reshape(-1), num_segments=2 * geom.n_nodes
+        fk.reshape(-1), geom.edofs_t.reshape(-1), num_segments=2 * geom.n_nodes
     )
     if axis_name is not None:
         f = jax.lax.psum(f, axis_name)
     return f
-
-
-def element_stiffness(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
-    """Per-element stiffness K_e = sum_q w_q B^T D B: (n_e, 2*n_p, 2*n_p).
-
-    Args: d (n_e, n_q, 3, 3) material tangent at integration points.
-    """
-    wd = geom.weight[..., None, None] * d
-    return jnp.einsum("eqai,eqab,eqbj->eij", geom.B, wd, geom.B)
 
 
 def tangent_matvec(
@@ -161,14 +204,27 @@ def tangent_matvec(
 ) -> jnp.ndarray:
     """Matrix-free K v: gather -> strain -> D -> B^T -> scatter.
 
-    This is the CG workhorse: no sparse matrix is ever materialized
-    (SURVEY.md §2.4 table: replaces scipy spsolve/CSR matvec).  With
-    `axis_name`, v is replicated, elements are sharded, and the result is
-    psum-reduced — the only cross-device communication in the solver.
+    d: (3, 3, n_int) material tangent.  The CG workhorse — no sparse matrix
+    is ever materialized (SURVEY.md §2.4: replaces scipy spsolve/CSR).
     """
     e = strains(geom, v)
-    s = jnp.einsum("eqab,eqb->eqa", d, e)
+    s = apply_tangent(d, e)
     return internal_force(geom, s, axis_name=axis_name)
+
+
+def element_stiffness(geom: Geometry, d: jnp.ndarray) -> jnp.ndarray:
+    """Per-element stiffness K_e = sum_q w_q B^T D B: (2*n_p, 2*n_p, n_e).
+
+    Args: d (3, 3, n_int) material tangent at integration points.
+    """
+    wd = geom.weight[None, None, :] * d  # (3, 3, n)
+    # T[b, k, n] = sum_a B[a, k, n] * wd[a, b, n]
+    T = (geom.B[:, None, :, :] * wd[:, :, None, :]).sum(axis=0)
+    # K[i, j, n] = sum_b T[b, i, n] * B[b, j, n]
+    ke = (T[:, :, None, :] * geom.B[:, None, :, :]).sum(axis=0)
+    if geom.n_q > 1:
+        ke = ke.reshape(geom.n_p2, geom.n_p2, geom.n_elems, geom.n_q).sum(-1)
+    return ke
 
 
 def node_block_diagonal(
@@ -176,16 +232,23 @@ def node_block_diagonal(
 ) -> jnp.ndarray:
     """2x2 nodal diagonal blocks of K for block-Jacobi preconditioning.
 
-    Returns (n_n, 2, 2).
+    Computed without materializing full element matrices (scales to
+    million-element meshes).  Returns (n_n, 2, 2).
     """
-    n_p2 = geom.edofs.shape[1]
-    n_p = n_p2 // 2
-    ke = element_stiffness(geom, d)
-    ke = ke.reshape(geom.n_elems, n_p, 2, n_p, 2)
-    diag = jnp.einsum("epipj->epij", ke)  # (n_e, n_p, 2, 2)
-    nodes = geom.edofs[:, ::2] // 2  # (n_e, n_p)
+    n_p = geom.n_p2 // 2
+    wd = geom.weight[None, None, :] * d
+    T = (geom.B[:, None, :, :] * wd[:, :, None, :]).sum(axis=0)  # (3, 2n_p, n)
+    T4 = T.reshape(3, n_p, 2, -1)
+    B4 = geom.B.reshape(3, n_p, 2, -1)
+    # diag[p, i, j, n] = sum_b T[b, 2p+i, n] * B[b, 2p+j, n]
+    diag = (T4[:, :, :, None, :] * B4[:, :, None, :, :]).sum(axis=0)
+    if geom.n_q > 1:
+        diag = diag.reshape(n_p, 2, 2, geom.n_elems, geom.n_q).sum(-1)
+    nodes = geom.edofs_t[::2, :] // 2  # (n_p, n_e)
     out = jax.ops.segment_sum(
-        diag.reshape(-1, 2, 2), nodes.reshape(-1), num_segments=geom.n_nodes
+        diag.transpose(0, 3, 1, 2).reshape(-1, 2, 2),
+        nodes.reshape(-1),
+        num_segments=geom.n_nodes,
     )
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)
@@ -199,9 +262,8 @@ def free_dof_map(free_mask: np.ndarray) -> Tuple[np.ndarray, int]:
     """free_mask (n_n, 2) bool -> (map (2*n_n,) int32, n_free).
 
     Maps each global DOF to its position among free DOFs, or to n_free
-    (a trash slot) if constrained.  Free DOFs are ordered by global DOF
-    index, which equals the reference's column-major (2, n_n) masking order
-    (`tsx-tunnel/pythonFEM.py:1741-1744`).
+    (a trash slot) if constrained.  Free-DOF order equals the reference's
+    column-major (2, n_n) masking order (`tsx-tunnel/pythonFEM.py:1741-1744`).
     """
     flat = np.asarray(free_mask).reshape(-1)
     n_free = int(flat.sum())
@@ -211,25 +273,42 @@ def free_dof_map(free_mask: np.ndarray) -> Tuple[np.ndarray, int]:
 
 
 def assemble_dense_free(
-    ke: jnp.ndarray, edofs: jnp.ndarray, fmap: jnp.ndarray, n_free: int
+    ke: jnp.ndarray, geom: Geometry, fmap: jnp.ndarray, n_free: int
 ) -> jnp.ndarray:
     """Scatter element matrices into the dense free-DOF stiffness.
 
-    Returns (n_free, n_free); constrained rows/cols fall into a trash
-    row/col that is sliced away.  Equivalent to the reference's
-    `K[Q x Q^T]` dense masking (`tsx-tunnel/pythonFEM.py:1741-1744`)
-    without materializing the n^2 boolean outer product.
+    ke: (2*n_p, 2*n_p, n_e) from `element_stiffness`.  Returns
+    (n_free, n_free); constrained rows/cols fall into a trash row/col that
+    is sliced away — equivalent to the reference's `K[Q x Q^T]` masking
+    (`tsx-tunnel/pythonFEM.py:1741-1744`) without the n^2 boolean outer
+    product.
     """
-    fd = fmap[edofs]  # (n_e, 2*n_p)
+    fd = fmap[geom.edofs_t]  # (2*n_p, n_e)
     K = jnp.zeros((n_free + 1, n_free + 1), ke.dtype)
-    K = K.at[fd[:, :, None], fd[:, None, :]].add(ke)
+    K = K.at[fd[:, None, :], fd[None, :, :]].add(ke)
     return K[:n_free, :n_free]
 
 
-def assemble_dense_full(ke: jnp.ndarray, edofs: jnp.ndarray, n_dofs: int) -> jnp.ndarray:
-    """Scatter element matrices into the full dense stiffness (2n_n, 2n_n)."""
-    K = jnp.zeros((n_dofs, n_dofs), ke.dtype)
-    return K.at[edofs[:, :, None], edofs[:, None, :]].add(ke)
+def assemble_dense_free_mxu(
+    ke: jnp.ndarray, geom: Geometry, fmap: jnp.ndarray, n_free: int
+) -> jnp.ndarray:
+    """Dense free-DOF stiffness via one-hot matmuls (MXU path, no scatter).
+
+    K = S (blockdiag K_e) S^T with S the one-hot slot->free-DOF matrix,
+    evaluated as a batched element matmul plus one large matmul.  TPU
+    scatters serialize on duplicate indices; this trades them for
+    MXU-friendly GEMMs.  Memory O(n_free * n_e * 2n_p) — intended for the
+    small/medium parity meshes (use CG beyond).
+    """
+    fd = fmap[geom.edofs]  # (n_e, 2*n_p)
+    S = jax.nn.one_hot(fd, n_free + 1, dtype=ke.dtype)  # (n_e, 2n_p, n_free+1)
+    M = jnp.einsum(
+        "ijn,njf->nif", ke, S, preferred_element_type=ke.dtype
+    )  # (n_e, 2n_p, n_free+1)
+    K = jnp.einsum(
+        "nif,nig->fg", S, M, preferred_element_type=ke.dtype
+    )
+    return K[:n_free, :n_free]
 
 
 # ---------------------------------------------------------------------------
@@ -241,18 +320,23 @@ def volume_force_vector(
     """Volume load vector: scatter of N^T (w * f) — (2*n_n,).
 
     Parity: `get_vector_volume` (`Elasticity2D/pythonFEM.py:246-292`).
-    Args: f (2,) constant body force, or (n_e, n_q, 2) field.
+    Args: f (2,) constant body force, or (2, n_int) field.
     """
     dtype = geom.B.dtype
     N = jnp.asarray(ref.N, dtype)  # (n_q, n_p)
     f = jnp.asarray(f, dtype)
     if f.ndim == 1:
-        f = jnp.broadcast_to(f, (geom.n_elems, geom.n_q, 2))
-    vals = jnp.einsum("qp,eq,eqc->epc", N, geom.weight, f)  # (n_e, n_p, 2)
+        f = jnp.broadcast_to(f[:, None], (2, geom.n_int))
+    wf = geom.weight[None, :] * f  # (2, n_int)
+    n_p = geom.n_p2 // 2
+    # per-node value: N[q,p] * wf[c, e*q]
+    Nt = jnp.broadcast_to(
+        N.T[:, None, :], (n_p, geom.n_elems, geom.n_q)
+    ).reshape(n_p, -1)
+    vals = Nt[:, None, :] * wf[None, :, :]  # (n_p, 2, n_int)
+    vals = vals.reshape(n_p * 2, geom.n_elems, geom.n_q).sum(-1)  # (2n_p, n_e)
     return jax.ops.segment_sum(
-        vals.reshape(-1),
-        geom.edofs.reshape(geom.n_elems, -1, 2).reshape(-1),
-        num_segments=2 * geom.n_nodes,
+        vals.reshape(-1), geom.edofs_t.reshape(-1), num_segments=2 * geom.n_nodes
     )
 
 
@@ -266,9 +350,8 @@ def traction_force_vector(
     """Traction load vector over boundary edges — (2*n_n,).
 
     Parity: `get_vector_traction` (`Elasticity2D/pythonFEM.py:295-364`),
-    including its x-projected line measure |j11| = |sum x_p dN_p| (the
-    reference integrates with the x-extent of the edge, valid for the
-    axis-aligned Neumann faces of its benchmarks).
+    including its x-projected line measure |j11| (valid for the
+    axis-aligned Neumann faces of the reference benchmarks).
     """
     dtype = jnp.asarray(coords).dtype
     xe = jnp.asarray(coords)[jnp.asarray(edges)]  # (n_s, n_p_s, 2)
@@ -287,27 +370,26 @@ def traction_force_vector(
 # ---------------------------------------------------------------------------
 # integration-point -> node projection
 # ---------------------------------------------------------------------------
-def project_to_nodes(
-    geom: Geometry, ref: ReferenceElement, q_int: jnp.ndarray
-) -> jnp.ndarray:
+def project_to_nodes(geom: Geometry, q_int: jnp.ndarray) -> jnp.ndarray:
     """Volume-weighted projection of a qp field to nodes: (n_n,).
 
-    Parity: `transform` (`tsx-tunnel/pythonFEM.py:1160-1216`): the nodal
-    value is sum_e sum_q w*q / sum_e sum_q w over elements touching the
-    node.  Note the reference spreads each integration point's value to all
-    element nodes with unit (not basis) weighting; we reproduce that.
+    Parity: `transform` (`tsx-tunnel/pythonFEM.py:1160-1216`): nodal value
+    = sum_e sum_q w*q / sum w over elements touching the node (the
+    reference spreads each point's value to all element nodes with unit
+    weighting; reproduced here).  q_int: (n_int,).
     """
-    n_p = geom.edofs.shape[1] // 2
-    nodes = geom.edofs[:, ::2] // 2  # (n_e, n_p)
-    wq = geom.weight * q_int.reshape(geom.n_elems, geom.n_q)
-    num_e = jnp.broadcast_to(wq.sum(axis=1)[:, None], (geom.n_elems, n_p))
-    den_e = jnp.broadcast_to(
-        geom.weight.sum(axis=1)[:, None], (geom.n_elems, n_p)
-    )
+    n_p = geom.n_p2 // 2
+    wq = (geom.weight * q_int).reshape(geom.n_elems, geom.n_q).sum(-1)  # (n_e,)
+    wsum = geom.weight.reshape(geom.n_elems, geom.n_q).sum(-1)
+    nodes = geom.edofs_t[::2, :] // 2  # (n_p, n_e)
     num = jax.ops.segment_sum(
-        num_e.reshape(-1), nodes.reshape(-1), num_segments=geom.n_nodes
+        jnp.broadcast_to(wq[None, :], (n_p, geom.n_elems)).reshape(-1),
+        nodes.reshape(-1),
+        num_segments=geom.n_nodes,
     )
     den = jax.ops.segment_sum(
-        den_e.reshape(-1), nodes.reshape(-1), num_segments=geom.n_nodes
+        jnp.broadcast_to(wsum[None, :], (n_p, geom.n_elems)).reshape(-1),
+        nodes.reshape(-1),
+        num_segments=geom.n_nodes,
     )
     return num / den

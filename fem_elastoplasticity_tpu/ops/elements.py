@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import numpy as np
 
@@ -389,6 +390,33 @@ class SurfaceElement:
     @property
     def n_p(self) -> int:
         return self.N.shape[1]
+
+
+class ElementTables(NamedTuple):
+    """Pytree view of `ReferenceElement` for passing through jit boundaries.
+
+    The axon TPU runtime degrades severely when programs embed array
+    constants (see ops/assembly.py docstring), so element tables are passed
+    as jit *arguments*; this NamedTuple is the pytree carrier.
+    """
+
+    xi: object
+    w: object
+    N: object
+    dN: object
+
+    @property
+    def n_q(self) -> int:
+        return self.w.shape[0]
+
+    @property
+    def n_p(self) -> int:
+        return self.N.shape[1]
+
+
+def tables(ref) -> ElementTables:
+    """ReferenceElement/SurfaceElement -> jit-passable pytree of arrays."""
+    return ElementTables(xi=ref.xi, w=ref.w, N=ref.N, dN=ref.dN)
 
 
 def volume_element(etype: ElementType) -> ReferenceElement:

@@ -20,10 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import TsxTunnelConfig
-from ..models.materials import drucker_prager_fit, elastic_tangent, lame_moduli
+from ..models.materials import (
+    drucker_prager_fit,
+    elastic_tangent_lanes,
+    lame_moduli,
+)
 from ..models.tsx_tunnel import initial_state, tsx_mesh
 from ..ops import assembly as asm
-from ..ops.elements import volume_element
+from ..ops.elements import tables, volume_element
 from ..solve.newton import NewtonSettings, build_load_stepper
 
 
@@ -81,27 +85,31 @@ def solve_tsx_ensemble(
         step0=0,
     )
 
+    args = dict(
+        coords=coords, elems=elems, tab=tables(ref), fmap=fmap,
+        free_idx=free_idx, s0=jnp.asarray(s0, dtype), e0=jnp.asarray(e0, dtype),
+    )
+    n_nodes = mesh.n_nodes
+
     @jax.jit
-    def run(etas, cs):
-        geom = asm.compute_geometry(coords, elems, ref)
-        d_el = elastic_tangent(shear, bulk, dtype)
+    def run(a, etas, cs):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
 
         # elastic predictor is material-batch independent: compute once
-        s0_field = jnp.broadcast_to(
-            jnp.asarray(s0[:3], dtype), (geom.n_elems, geom.n_q, 3)
-        )
+        s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0_field)
-        D = jnp.broadcast_to(d_el, (geom.n_elems, geom.n_q, 3, 3))
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom.edofs, fmap, n_free)
-        u_el_free = jnp.linalg.solve(K_free, -f0[free_idx])
-        u_elast = jnp.zeros((2 * geom.n_nodes,), dtype).at[free_idx].set(u_el_free)
+        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]])
+        u_elast = jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
         U_it0 = cfg.d_zeta * u_elast
 
         def one(eta, c):
             stepper = build_load_stepper(
-                geom, free_idx, fmap, n_free, shear, bulk, eta, c, settings,
-                e0_dir=jnp.asarray(e0, dtype),
+                geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
+                settings, e0_dir=a["e0"],
                 monitor=lambda u, s: u[monitor_dof],
                 solver=solver,
             )
@@ -109,7 +117,7 @@ def solve_tsx_ensemble(
 
         return jax.vmap(one)(etas, cs)
 
-    res = run(jnp.asarray(etas, dtype), jnp.asarray(cs, dtype))
+    res = run(args, jnp.asarray(etas, dtype), jnp.asarray(cs, dtype))
     return EnsembleResult(
         u=res.u.reshape(res.u.shape[0], -1, 2),
         zeta_hist=res.zeta_hist,

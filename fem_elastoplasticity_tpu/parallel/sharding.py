@@ -1,19 +1,20 @@
 """Multi-chip SPMD: element partitioning over a device mesh via `shard_map`.
 
 The reference is single-process (SURVEY.md §2.4 — no MPI/NCCL/threads).
-The TPU-native scaling design: shard *elements* across devices, replicate
-the nodal DOF vectors.  Assembly is element-local, so the only collectives
-are `psum`s of scattered nodal partials (internal force, preconditioner
-blocks) riding ICI.  The adaptive Newton control flow is replicated — every
-device runs the identical `lax.while_loop` schedule, so no host involvement
-and no divergence.
+The TPU-native scaling design: shard *integration points / elements* across
+devices, replicate the nodal DOF vectors.  Assembly is element-local, so
+the only collectives are `psum`s of scattered nodal partials (internal
+force, preconditioner blocks) riding ICI.  The adaptive Newton control
+flow is replicated — every device runs the identical `lax.while_loop`
+schedule, so no host involvement and no divergence.
 
-Element order is preserved shard-major, so integration-point state (plastic
-strain) shards consistently with geometry.
+Geometry is lane-major (see `ops.assembly`); the shard axis is the minor
+integration-point axis of B/weight and the element axis of the DOF maps.
+Padding slots (zero B, zero weight) are inert in every reduction.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,93 +37,84 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(grid, (ELEM_AXIS,))
 
 
-def pad_elements(
-    coords: np.ndarray, elems: np.ndarray, n_shards: int
-) -> Tuple[np.ndarray, int]:
-    """Pad connectivity to a multiple of n_shards with degenerate elements.
-
-    Padding elements reference node 0 with zero Jacobian contribution; they
-    are made inert by zeroing their quadrature weights in `shard_geometry`.
-    Returns (padded elems, n_real).
-    """
-    n_e = elems.shape[0]
-    n_pad = (-n_e) % n_shards
-    if n_pad == 0:
-        return elems, n_e
-    pad = np.zeros((n_pad, elems.shape[1]), elems.dtype)
-    return np.concatenate([elems, pad], axis=0), n_e
-
-
 def sharded_geometry(
     coords: jnp.ndarray,
-    elems_padded: np.ndarray,
-    n_real: int,
+    elems: np.ndarray,
     ref: ReferenceElement,
     mesh: Mesh,
 ) -> asm.Geometry:
-    """Compute geometry and lay it out sharded over the element axis.
+    """Compute geometry padded/sharded over the device mesh.
 
-    Padding elements get zero weight (inert in every reduction).
+    Element count is padded so each shard holds an equal, lane-aligned
+    block of whole elements; the padding is inert (zero B and weight).
     """
-    geom = asm.compute_geometry(coords, jnp.asarray(elems_padded), ref)
-    n_e = elems_padded.shape[0]
-    real = (jnp.arange(n_e) < n_real)[:, None]
-    weight = jnp.where(real, geom.weight, 0.0)
-    # padding elements are degenerate (singular Jacobian -> NaN gradients);
-    # zero their B blocks so 0-weight masking can't leak NaNs
-    B = jnp.where(real[:, :, None, None], geom.B, 0.0)
-    geom = geom._replace(B=B)
-    spec_e = NamedSharding(mesh, P(ELEM_AXIS))
+    n_shards = mesh.devices.size
+    n_e = elems.shape[0]
+    n_q = ref.n_q
+    per_shard = -(-n_e // n_shards)
+    while (per_shard * n_q) % asm.LANE_PAD != 0:
+        per_shard += 1
+    geom = asm.compute_geometry(coords, elems, ref, pad_to=per_shard * n_shards * n_q)
+
+    spec = lambda *p: NamedSharding(mesh, P(*p))
     return asm.Geometry(
-        B=jax.device_put(geom.B, spec_e),
-        weight=jax.device_put(weight, spec_e),
-        edofs=jax.device_put(geom.edofs, spec_e),
+        B=jax.device_put(geom.B, spec(None, None, ELEM_AXIS)),
+        weight=jax.device_put(geom.weight, spec(ELEM_AXIS)),
+        edofs=jax.device_put(geom.edofs, spec(ELEM_AXIS, None)),
+        edofs_t=jax.device_put(geom.edofs_t, spec(None, ELEM_AXIS)),
         n_nodes=geom.n_nodes,
+        n_q=geom.n_q,
+        n_real=geom.n_real,
     )
-
-
-def element_shard_specs(mesh: Mesh):
-    """(in_spec for Geometry, replicated spec) helpers for shard_map."""
-    e = P(ELEM_AXIS)
-    r = P()
-    geom_spec = asm.Geometry(B=e, weight=e, edofs=e, n_nodes=None)
-    return geom_spec, e, r
 
 
 def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
     """Wrap a load-stepper builder in shard_map over the element axis.
 
     Args:
-      build_fn: (local_geom, axis_name) -> run(U_it0, aux0, d_zeta0);
-                typically a closure over `solve.newton.build_load_stepper`
-                with solver="cg".
+      build_fn: (local_geom, axis_name, *extra) -> run(U_it0, aux0,
+                d_zeta0); typically a closure over
+                `solve.newton.build_load_stepper` with solver="cg".
 
-    Returns run(U_it0, aux0, d_zeta0) operating on replicated inputs with
-    element state sharded.
+    Returns run(U_it0, aux0, d_zeta0, *extra) on replicated inputs (the
+    `extra` arrays — free-DOF indices, e0 directions, etc. — must be passed
+    here rather than closed over: the axon TPU runtime degrades on
+    programs with embedded array constants).  Plastic-strain state stays
+    sharded across devices for the whole solve.
     """
-    e = P(ELEM_AXIS)
+    e3 = P(None, None, ELEM_AXIS)
+    e1 = P(ELEM_AXIS)
+    e_r = P(ELEM_AXIS, None)
+    e_c = P(None, ELEM_AXIS)
     r = P()
 
-    def inner(B, weight, edofs, U_it0, aux0, d_zeta0):
-        local = asm.Geometry(B=B, weight=weight, edofs=edofs, n_nodes=geom.n_nodes)
-        run = build_fn(local, ELEM_AXIS)
+    def inner(B, weight, edofs, edofs_t, U_it0, aux0, d_zeta0, *extra):
+        local = asm.Geometry(
+            B=B, weight=weight, edofs=edofs, edofs_t=edofs_t,
+            n_nodes=geom.n_nodes, n_q=geom.n_q, n_real=geom.n_real,
+        )
+        run = build_fn(local, ELEM_AXIS, *extra)
         return run(U_it0, aux0, d_zeta0)
 
     from ..solve.newton import LoadSteppingResult
 
     out_specs = LoadSteppingResult(
-        u=r, ep=e, zeta_hist=r, monitor_hist=r, n_steps=r,
+        u=r, ep=e_c, zeta_hist=r, monitor_hist=r, n_steps=r,
         n_newton_total=r, zeta=r, d_zeta=r, n_plastic=r,
-    )
-    mapped = shard_map(
-        inner,
-        mesh=mesh,
-        in_specs=(e, e, e, r, r, r),
-        out_specs=out_specs,
-        check_vma=False,
+        u_old=r, u_it=r, d_zeta_old=r, aux=r,
     )
 
-    def run(U_it0, aux0, d_zeta0):
-        return mapped(geom.B, geom.weight, geom.edofs, U_it0, aux0, d_zeta0)
+    def run(U_it0, aux0, d_zeta0, *extra):
+        mapped = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(e3, e1, e_r, e_c, r, r, r) + (r,) * len(extra),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return mapped(
+            geom.B, geom.weight, geom.edofs, geom.edofs_t,
+            U_it0, aux0, d_zeta0, *extra,
+        )
 
     return run

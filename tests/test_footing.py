@@ -67,6 +67,5 @@ class TestAnchors:
         assert abs(p[-1] - p[-4]) < 0.02 * p[-1]
 
     def test_plasticity_develops(self, result):
-        # n_plastic is evaluated *after* the final plastic-strain update, so
-        # it is smaller than the in-step count (~770 in the reference run)
-        assert result.n_plastic > 300
+        # ~770 integration points yield by zeta=1 in the reference run
+        assert result.n_plastic > 500

@@ -46,14 +46,10 @@ class TestGolden:
         )
         mesh, ref, geom = _geom(ElementType.P1)
         G, K = lame_moduli(CFG.young, CFG.poisson)
-        D = jnp.broadcast_to(
-            elastic_tangent(G, K), (geom.n_elems, geom.n_q, 3, 3)
-        )
+        D = jnp.broadcast_to(elastic_tangent(G, K)[:, :, None], (3, 3, geom.n_int))
         ke = asm.element_stiffness(geom, D)
         fmap, n_free = asm.free_dof_map(mesh.free)
-        Kf = np.asarray(
-            asm.assemble_dense_free(ke, geom.edofs, jnp.asarray(fmap), n_free)
-        )
+        Kf = np.asarray(asm.assemble_dense_free(ke, geom, jnp.asarray(fmap), n_free))
         assert Kf.shape == (908, 908)
         rel = np.linalg.norm(Kf - kt) / np.linalg.norm(kt)
         assert rel < 1e-4  # MATLAB<->Python floor is 5.8e-5
@@ -64,7 +60,7 @@ class TestGolden:
         f0q = np.genfromtxt(reference_dir / "tsx-tunnel" / "f0q.csv", delimiter=",")
         mesh, ref, geom = _geom(ElementType.P2)
         s0, _ = initial_state(CFG)
-        s0f = jnp.broadcast_to(jnp.asarray(s0[:3]), (geom.n_elems, geom.n_q, 3))
+        s0f = jnp.broadcast_to(jnp.asarray(s0[:3])[:, None], (3, geom.n_int))
         F0 = np.asarray(asm.internal_force(geom, s0f))[mesh.free.reshape(-1)]
         assert F0.shape == (3594,)
         rel = np.abs(F0 - f0q).max() / np.abs(f0q).max()
@@ -79,15 +75,13 @@ class TestGolden:
         G, K = lame_moduli(CFG.young, CFG.poisson)
         eta, c = drucker_prager_fit(CFG.cohesion, CFG.friction_angle)
         _, e0 = initial_state(CFG)
-        e3 = asm.strains(geom, jnp.asarray(np.asarray(res.u).reshape(-1))).reshape(-1, 3)
-        rm = drucker_prager_return_map(
+        from fem_elastoplasticity_tpu.models.materials import dp_return_map_lanes
+
+        e3 = asm.strains(geom, jnp.asarray(np.asarray(res.u).reshape(-1)))
+        s_rm, _, _, _, _ = dp_return_map_lanes(
             e3, res.ep, G, K, eta, c, e0=jnp.asarray(e0)
         )
-        F = np.asarray(
-            asm.internal_force(
-                geom, rm.s[:, :3].reshape(geom.n_elems, geom.n_q, 3)
-            )
-        )[mesh.free.reshape(-1)]
+        F = np.asarray(asm.internal_force(geom, s_rm[:3]))[mesh.free.reshape(-1)]
         # same convergence scale as the golden residual (‖fq‖ ≈ 5e-14);
         # normalize by the force scale of the problem
         f_scale = np.abs(
@@ -95,8 +89,8 @@ class TestGolden:
                 asm.internal_force(
                     geom,
                     jnp.broadcast_to(
-                        jnp.asarray(initial_state(CFG)[0][:3]),
-                        (geom.n_elems, geom.n_q, 3),
+                        jnp.asarray(initial_state(CFG)[0][:3])[:, None],
+                        (3, geom.n_int),
                     ),
                 )
             )

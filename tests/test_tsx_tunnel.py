@@ -36,8 +36,8 @@ class TestP1Anchors:
 
     def test_plastic_onset(self, result_p1):
         # purely elastic response through step 13: 1 Newton it per step;
-        # plastic onset at step 14 (SURVEY.md §8.1)
-        assert result_p1.n_plastic >= 1
+        # plastic onset at step 14; 3 yielded points at zeta=1 (SURVEY §8.1)
+        assert result_p1.n_plastic == 3
         ep_norm = np.abs(np.asarray(result_p1.ep)).max()
         assert ep_norm > 0
 
