@@ -42,7 +42,11 @@ def main() -> None:
         build_load_stepper,
     )
 
-    cfg = TsxTunnelConfig(dense_mode="mixed")
+    # f32 fast path: fused Pallas constitutive kernel + f32 Cholesky.
+    # Wall displacement is gated below at 1e-6 relative vs the reference
+    # anchor (measured: 1.2e-7); the f64 parity path (4.4x) is exercised by
+    # the test suite.
+    cfg = TsxTunnelConfig.fast()
     mesh = tsx.tsx_mesh(cfg.etype)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
@@ -62,14 +66,17 @@ def main() -> None:
         step0=0,
     )
 
+    dt = jnp.dtype(cfg.dtype)
+    tab = tables(ref)
+    tab = type(tab)(*[jnp.asarray(x, dt) for x in tab])
     args = dict(
-        coords=jnp.asarray(mesh.coords),
+        coords=jnp.asarray(mesh.coords, dt),
         elems=jnp.asarray(mesh.elems),
-        tab=tables(ref),
+        tab=tab,
         fmap=jnp.asarray(fmap_np),
         free_idx=jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0]),
-        s0=jnp.asarray(s0),
-        e0=jnp.asarray(e0),
+        s0=jnp.asarray(s0, dt),
+        e0=jnp.asarray(e0, dt),
     )
 
     @jax.jit
@@ -100,8 +107,9 @@ def main() -> None:
     # warmup + correctness gate
     res = jax.block_until_ready(full_solve(args))
     u40 = float(res.u[2 * cfg.monitor_node])
+    rel_err = abs(u40 - ANCHOR_U40) / abs(ANCHOR_U40)
     assert int(res.n_steps) == 17, f"step count {int(res.n_steps)} != 17"
-    assert abs(u40 - ANCHOR_U40) / abs(ANCHOR_U40) < 1e-6, u40
+    assert rel_err < 1e-6, u40
 
     reps = 5
     times = []
@@ -118,6 +126,8 @@ def main() -> None:
                 "value": wall,
                 "unit": "s",
                 "vs_baseline": BASELINE_WALL_S / wall,
+                "precision": "f32_pallas_fast_path",
+                "rel_err_vs_reference": rel_err,
             }
         )
     )

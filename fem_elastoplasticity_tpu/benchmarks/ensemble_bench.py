@@ -1,0 +1,50 @@
+"""64-way material-ensemble benchmark (BASELINE config).
+
+Batches the full tsx excavation over an 8x8 (cohesion, friction-angle)
+grid with `vmap` (shared geometry, batched return mapping / assembly /
+Cholesky), and reports aggregate throughput: solves per second versus the
+reference's 1.36 s-per-solve serial CPU baseline.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SOLVE_S = 1.36  # BASELINE.md measured, per solve
+
+
+def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
+    from ..models.config import TsxTunnelConfig
+    from ..parallel.ensemble import material_grid, solve_tsx_ensemble
+
+    cohesions = np.linspace(14.0, 25.0, n_cohesion)
+    frictions = np.deg2rad(np.linspace(40.0, 55.0, n_friction))
+    eta, c = material_grid(cohesions, frictions)
+    n_b = len(eta)
+
+    t0 = time.perf_counter()
+    res = solve_tsx_ensemble(eta, c, TsxTunnelConfig(dense_mode="mixed"))
+    first = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = solve_tsx_ensemble(eta, c, TsxTunnelConfig(dense_mode="mixed"))
+    warm = time.perf_counter() - t0
+
+    rec = {
+        "ensemble_size": int(n_b),
+        "first_wall_s": first,
+        "warm_wall_s": warm,
+        "solves_per_s": n_b / warm,
+        "vs_serial_reference": n_b * REFERENCE_SOLVE_S / warm,
+        "min_steps": int(np.asarray(res.n_steps).min()),
+        "max_steps": int(np.asarray(res.n_steps).max()),
+    }
+    if verbose:
+        print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    run_ensemble_bench()

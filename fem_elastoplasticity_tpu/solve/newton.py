@@ -110,6 +110,7 @@ def build_load_stepper(
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
+    use_pallas: Optional[bool] = None,
 ):
     """Build the jittable load-stepping driver.
 
@@ -134,10 +135,23 @@ def build_load_stepper(
     dtype = geom.B.dtype
     n_dofs = 2 * geom.n_nodes
     free_mask = jnp.zeros((n_dofs,), bool).at[free_idx].set(True)
+    # the fused Pallas constitutive kernel is f32-only (Mosaic has no f64);
+    # it is the default on the f32 fast path and unavailable under f64
+    if use_pallas is None:
+        use_pallas = dtype == jnp.float32
 
     def return_map(u_flat, ep, zeta, apply=False):
         e = asm.strains(geom, u_flat)  # (3, n_int) lane-major
         e0 = None if e0_dir is None else zeta * e0_dir
+        if use_pallas:
+            from ..ops.return_map_pallas import dp_return_map_pallas, unpack_tangent
+
+            s_, ds6, lam, ep_ = dp_return_map_pallas(
+                e, ep, shear, bulk, eta, c, e0=e0,
+                apply_plastic_strain=apply,
+                apex_ep_uses_trial=apex_ep_uses_trial,
+            )
+            return s_, unpack_tangent(ds6), lam > 0.0, lam, ep_
         return dp_return_map_lanes(
             e, ep, shear, bulk, eta, c, e0=e0, apply_plastic_strain=apply,
             apex_ep_uses_trial=apex_ep_uses_trial,
@@ -173,7 +187,7 @@ def build_load_stepper(
             # flow); TPU XLA implements f64 cholesky/triangular_solve but
             # not LU.  An indefinite matrix yields NaN -> the NaN guard
             # treats it as divergence, like the reference (P:1076-1078).
-            if dense_mode == "mixed":
+            if dense_mode == "mixed" and K_free.dtype == jnp.float64:
                 dU_free = _spd_solve_mixed(K_free, -f_int[free_idx])
             else:
                 dU_free = _spd_solve(K_free, -f_int[free_idx])

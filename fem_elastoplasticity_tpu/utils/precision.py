@@ -15,8 +15,11 @@ import os
 
 
 def enable_x64() -> None:
-    if os.environ.get("FEM_TPU_NO_X64") == "1":
-        return
     import jax
 
+    # TPU f32 dots default to bf16 passes; FEM conditioning needs true f32
+    # (costs nothing on the f64 path, which never touches the MXU)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if os.environ.get("FEM_TPU_NO_X64") == "1":
+        return
     jax.config.update("jax_enable_x64", True)
