@@ -45,8 +45,20 @@ def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
     b = jnp.where(mask, blocks, 0.0)
     diag_fix = (~free2).astype(blocks.dtype)
     b = b + eye * diag_fix[:, :, None] * 1.0
-    # also fix fully-interior zero blocks (shouldn't occur) for safety
-    inv = jnp.linalg.inv(b)
+    # closed-form 2x2 inverse (jnp.linalg.inv lowers to LU, which XLA:TPU
+    # does not implement for f64)
+    a_, b_, c_, d_ = b[:, 0, 0], b[:, 0, 1], b[:, 1, 0], b[:, 1, 1]
+    det = a_ * d_ - b_ * c_
+    inv = (
+        jnp.stack(
+            [
+                jnp.stack([d_, -b_], axis=-1),
+                jnp.stack([-c_, a_], axis=-1),
+            ],
+            axis=-2,
+        )
+        / det[:, None, None]
+    )
 
     def apply(r):
         r2 = r.reshape(-1, 2)

@@ -170,9 +170,20 @@ def build_load_stepper(
             axis=0,
         )
 
-    def elastic_norm(v):
+    def elastic_apply(v):
         s = elastic_stress(asm.strains(geom, v))
-        return jnp.sqrt(v @ asm.internal_force(geom, s, axis_name=axis_name))
+        return asm.internal_force(geom, s, axis_name=axis_name)
+
+    def criterion_norms(dU, U_it):
+        # q1 = |dU|_K, q2 = |U_it|_K, q3 = |U_it + dU|_K with two matvecs:
+        # q3^2 = q2^2 + 2 dU.K.U_it + q1^2 (K_elast is symmetric)
+        KdU = elastic_apply(dU)
+        KU = elastic_apply(U_it)
+        q1sq = dU @ KdU
+        q2sq = U_it @ KU
+        cross = dU @ KU
+        q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
+        return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
 
     def newton_solve(d, f_int, dU_prev):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
@@ -219,9 +230,7 @@ def build_load_stepper(
             f_int = asm.internal_force(geom, s_rm[:3], axis_name=axis_name)
             dU = newton_solve(ds_rm, f_int, dU_prev)
             U_new = U_it + dU
-            q1 = elastic_norm(dU)
-            q2 = elastic_norm(U_it)
-            q3 = elastic_norm(U_new)
+            q1, q2, q3 = criterion_norms(dU, U_it)
             crit = q1 / (q2 + q3)
             nan = jnp.isnan(crit)
             U_next = jnp.where(nan, U_it, U_new)

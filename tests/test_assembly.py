@@ -1,0 +1,96 @@
+"""Assembly-layer unit tests: operator identities and variant equivalence."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fem_elastoplasticity_tpu.models.materials import (
+    elastic_tangent_lanes,
+    lame_moduli,
+)
+from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+from fem_elastoplasticity_tpu.ops import assembly as asm
+from fem_elastoplasticity_tpu.ops.elements import ElementType, tables, volume_element
+
+G, K = lame_moduli(60000.0, 0.2)
+
+
+@pytest.fixture(scope="module", params=[ElementType.P1, ElementType.P2])
+def setup(request):
+    mesh = tsx_mesh(request.param)
+    ref = volume_element(request.param)
+    geom = asm.compute_geometry(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.elems), tables(ref)
+    )
+    D = elastic_tangent_lanes(G, K, geom.n_int, jnp.float64)
+    return mesh, geom, D
+
+
+class TestOperatorIdentities:
+    def test_matvec_matches_dense(self, setup):
+        mesh, geom, D = setup
+        fmap, n_free = asm.free_dof_map(mesh.free)
+        ke = asm.element_stiffness(geom, D)
+        Kd = np.asarray(asm.assemble_dense_free(ke, geom, jnp.asarray(fmap), n_free))
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=2 * mesh.n_nodes)
+        v_masked = np.where(mesh.free.reshape(-1), v, 0.0)
+        mv = np.asarray(asm.tangent_matvec(geom, D, jnp.asarray(v_masked)))
+        mv_free = mv[mesh.free.reshape(-1)]
+        ref = Kd @ v_masked[mesh.free.reshape(-1)]
+        np.testing.assert_allclose(mv_free, ref, rtol=1e-12)
+
+    def test_stiffness_symmetry_and_psd(self, setup):
+        mesh, geom, D = setup
+        fmap, n_free = asm.free_dof_map(mesh.free)
+        ke = asm.element_stiffness(geom, D)
+        Kd = np.asarray(asm.assemble_dense_free(ke, geom, jnp.asarray(fmap), n_free))
+        assert np.abs(Kd - Kd.T).max() < 1e-9 * np.abs(Kd).max()
+        w = np.linalg.eigvalsh(Kd)
+        assert w.min() > 0
+
+    def test_block_diagonal_matches_dense(self, setup):
+        mesh, geom, D = setup
+        blocks = np.asarray(asm.node_block_diagonal(geom, D))
+        ke = asm.element_stiffness(geom, D)
+        Kfull = np.asarray(
+            asm.assemble_dense_full_from_lane(ke, geom)
+            if hasattr(asm, "assemble_dense_full_from_lane")
+            else _dense_full(ke, geom)
+        )
+        for n in [0, 7, 40]:
+            np.testing.assert_allclose(
+                blocks[n], Kfull[2 * n : 2 * n + 2, 2 * n : 2 * n + 2], rtol=1e-12
+            )
+
+    def test_mxu_assembly_matches_scatter(self, setup):
+        mesh, geom, D = setup
+        fmap, n_free = asm.free_dof_map(mesh.free)
+        ke = asm.element_stiffness(geom, D)
+        K1 = np.asarray(asm.assemble_dense_free(ke, geom, jnp.asarray(fmap), n_free))
+        K2 = np.asarray(
+            asm.assemble_dense_free_mxu(ke, geom, jnp.asarray(fmap), n_free)
+        )
+        np.testing.assert_allclose(K2, K1, rtol=1e-12, atol=1e-9 * np.abs(K1).max())
+
+    def test_strain_of_rigid_motion_is_zero(self, setup):
+        mesh, geom, D = setup
+        # translation + rotation produce zero (linearized) strain
+        u = np.empty((mesh.n_nodes, 2))
+        u[:, 0] = 3.0 - 1e-3 * mesh.coords[:, 1]
+        u[:, 1] = -1.5 + 1e-3 * mesh.coords[:, 0]
+        e = np.asarray(asm.strains(geom, jnp.asarray(u.reshape(-1))))
+        assert np.abs(e).max() < 1e-12
+
+    def test_padding_is_inert(self, setup):
+        mesh, geom, D = setup
+        n_real_int = geom.n_real * geom.n_q
+        assert geom.n_int % 128 == 0
+        assert np.asarray(geom.weight)[n_real_int:].max(initial=0.0) == 0.0
+        assert np.abs(np.asarray(geom.B)[:, :, n_real_int:]).max(initial=0.0) == 0.0
+
+
+def _dense_full(ke, geom):
+    K = jnp.zeros((2 * geom.n_nodes, 2 * geom.n_nodes), ke.dtype)
+    fd = geom.edofs_t
+    return K.at[fd[:, None, :], fd[None, :, :]].add(ke)

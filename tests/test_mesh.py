@@ -160,3 +160,42 @@ class TestRefine:
         r = refine_mesh(m, 1)
         a0, a1 = tri_area(m.coords, m.elems), tri_area(r.coords, r.elems)
         assert np.sign(a0).min() == np.sign(a1).min()
+
+
+class TestBoundary:
+    def test_p1_boundary_counts(self):
+        from fem_elastoplasticity_tpu.mesh.boundary import boundary_edges
+
+        m = tsx_mesh(ElementType.P1)
+        b = boundary_edges(m.elems)
+        # tsx boundary: outer box + tunnel wall; every boundary node appears
+        # in exactly two boundary edges (closed loops)
+        nodes, counts = np.unique(b[:, :2], return_counts=True)
+        assert (counts == 2).all()
+        # edges + boundary loops satisfy Euler: E_int = E - E_b
+        assert len(b) == 2 * 1363 - 3 * 887  # 2E - 3T = boundary edge count
+
+    def test_p2_boundary_midpoints(self):
+        from fem_elastoplasticity_tpu.mesh.boundary import boundary_edges
+
+        m = tsx_mesh(ElementType.P2)
+        b = boundary_edges(m.elems, ElementType.P2)
+        np.testing.assert_allclose(
+            m.coords[b[:, 2]], 0.5 * (m.coords[b[:, 0]] + m.coords[b[:, 1]]), atol=0
+        )
+
+    def test_p4_boundary_quarters(self):
+        from fem_elastoplasticity_tpu.mesh.boundary import boundary_edges
+
+        m = tsx_mesh(ElementType.P4)
+        b = boundary_edges(m.elems, ElementType.P4)
+        np.testing.assert_allclose(
+            m.coords[b[:, 3]],
+            0.75 * m.coords[b[:, 0]] + 0.25 * m.coords[b[:, 1]],
+            atol=1e-15,
+        )
+        np.testing.assert_allclose(
+            m.coords[b[:, 4]],
+            0.25 * m.coords[b[:, 0]] + 0.75 * m.coords[b[:, 1]],
+            atol=1e-15,
+        )
