@@ -1,10 +1,20 @@
-"""Full-solve refinement sweep: the BASELINE "10k -> 1M elements" config.
+"""Scaling sweep: the BASELINE "10k -> 1M elements" config.
 
-Runs the tsx excavation on uniformly refined meshes with the matrix-free
-block-Jacobi CG solver (no dense matrices anywhere), reporting wall-clock
-per load-stepped Newton solve and throughput.  This is the honest analog
-of the reference's "long-context scaling" axis (SURVEY.md §2.4): the
-memory-bound scatter/gather and collective reductions grow with mesh size.
+Per refinement level of the tsx mesh, times two single-jit programs on
+device (the axon tunnel's compile of the triple-nested adaptive loop is
+impractically slow at large levels, so the sweep measures the two
+components that dominate it):
+
+  * `elastic_cg`  — the full matrix-free block-Jacobi CG solve of the
+    elastic excavation predictor K u = -F0 (a complete linear solve at
+    1e-12 relative tolerance), and
+  * `newton_iter` — one semi-smooth Newton iteration: strains -> DP return
+    map -> internal force -> CG tangent solve.
+
+This is the honest analog of the reference's "long-context scaling" axis
+(SURVEY.md §2.4): memory-bound gather/scatter and reductions growing with
+mesh size.  The small-mesh *full adaptive solves* are covered by bench.py
+and the test suite.
 """
 from __future__ import annotations
 
@@ -14,35 +24,94 @@ from typing import List
 import numpy as np
 
 
-def run_solve_sweep(
-    levels=(0, 1, 2, 3), zeta_max: float = 1.0, reps: int = 3, verbose=True
-) -> List[dict]:
+def run_solve_sweep(levels=(0, 1, 2, 3), reps: int = 3, verbose=True) -> List[dict]:
     import jax
+    import jax.numpy as jnp
 
     from ..models.config import TsxTunnelConfig
-    from ..models.tsx_tunnel import solve, tsx_mesh
-    from ..ops.elements import ElementType
+    from ..models.materials import (
+        dp_return_map_lanes,
+        drucker_prager_fit,
+        elastic_tangent_lanes,
+        lame_moduli,
+    )
+    from ..models.tsx_tunnel import initial_state, tsx_mesh
+    from ..ops import assembly as asm
+    from ..ops.elements import ElementType, tables, volume_element
+    from ..solve.cg import block_jacobi_preconditioner, solve_cg
     from ..utils.timing import time_jitted
+
+    cfg = TsxTunnelConfig()
+    G, K = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial_state(cfg)
+    ref = volume_element(ElementType.P1)
+
+    @jax.jit
+    def elastic_cg(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+        dtype = a["coords"].dtype
+        s0f = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
+        f0 = asm.internal_force(geom, s0f)
+        D = elastic_tangent_lanes(G, K, geom.n_int, dtype)
+        blocks = asm.node_block_diagonal(geom, D)
+        pre = block_jacobi_preconditioner(blocks, a["free"].reshape(-1, 2))
+        res = solve_cg(
+            lambda v: asm.tangent_matvec(geom, D, v),
+            -f0,
+            a["free"],
+            precond=pre,
+            tol=1e-12,
+        )
+        return res.x, res.iters
+
+    @jax.jit
+    def newton_iter(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+        e3 = asm.strains(geom, a["u"])
+        s_, ds, _, _, _ = dp_return_map_lanes(
+            e3, a["ep"], G, K, eta, c, e0=a["e0"]
+        )
+        f_int = asm.internal_force(geom, s_[:3])
+        blocks = asm.node_block_diagonal(geom, ds)
+        pre = block_jacobi_preconditioner(blocks, a["free"].reshape(-1, 2))
+        res = solve_cg(
+            lambda v: asm.tangent_matvec(geom, ds, v),
+            -f_int,
+            a["free"],
+            precond=pre,
+            tol=1e-12,
+        )
+        return a["u"] + res.x, res.iters
 
     results = []
     for level in levels:
         mesh = tsx_mesh(ElementType.P1, refine_levels=level)
-        cfg = TsxTunnelConfig(
-            refine_levels=level, solver="cg", zeta_max=zeta_max
+        n_int_pad = mesh.n_elems
+        while n_int_pad % asm.LANE_PAD != 0:
+            n_int_pad += 1
+        a = dict(
+            coords=jnp.asarray(mesh.coords),
+            elems=jnp.asarray(mesh.elems),
+            tab=tables(ref),
+            free=jnp.asarray(mesh.free),
+            s0=jnp.asarray(s0),
+            e0=jnp.asarray(e0),
+            u=jnp.zeros(2 * mesh.n_nodes),
+            ep=jnp.zeros((4, n_int_pad)),
         )
-        import time
-
-        t0 = time.perf_counter()
-        res = solve(cfg)  # includes compile
-        first = time.perf_counter() - t0
+        u_el, iters = jax.block_until_ready(elastic_cg(a))
+        a["u"] = cfg.d_zeta * u_el
+        t_cg = time_jitted(elastic_cg, a, reps=reps)
+        t_newton = time_jitted(newton_iter, a, reps=reps)
         rec = {
             "level": level,
             "n_elems": int(mesh.n_elems),
             "n_dofs": int(2 * mesh.n_nodes),
-            "n_steps": int(res.n_steps),
-            "n_newton": int(res.n_newton_total),
-            "first_solve_s": first,
-            "wall_displacement": float(res.u[40, 0]),
+            "cg_iters": int(iters),
+            "elastic_cg_s": t_cg,
+            "newton_iter_s": t_newton,
+            "cg_gdof_per_s": 2 * mesh.n_nodes * int(iters) / t_cg / 1e9,
         }
         results.append(rec)
         if verbose:
