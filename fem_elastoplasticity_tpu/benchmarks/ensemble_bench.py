@@ -24,12 +24,15 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
     eta, c = material_grid(cohesions, frictions)
     n_b = len(eta)
 
+    import jax
+
+    cfg = TsxTunnelConfig.fast()
     t0 = time.perf_counter()
-    res = solve_tsx_ensemble(eta, c, TsxTunnelConfig(dense_mode="mixed"))
+    res = jax.block_until_ready(solve_tsx_ensemble(eta, c, cfg))
     first = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = solve_tsx_ensemble(eta, c, TsxTunnelConfig(dense_mode="mixed"))
+    res = jax.block_until_ready(solve_tsx_ensemble(eta, c, cfg))
     warm = time.perf_counter() - t0
 
     rec = {

@@ -24,7 +24,9 @@ from typing import List
 import numpy as np
 
 
-def run_solve_sweep(levels=(0, 1, 2, 3), reps: int = 3, verbose=True) -> List[dict]:
+def run_solve_sweep(
+    levels=(0, 1, 2, 3), reps: int = 3, verbose=True, time_newton: bool = False
+) -> List[dict]:
     import jax
     import jax.numpy as jnp
 
@@ -103,16 +105,18 @@ def run_solve_sweep(levels=(0, 1, 2, 3), reps: int = 3, verbose=True) -> List[di
         u_el, iters = jax.block_until_ready(elastic_cg(a))
         a["u"] = cfg.d_zeta * u_el
         t_cg = time_jitted(elastic_cg, a, reps=reps)
-        t_newton = time_jitted(newton_iter, a, reps=reps)
         rec = {
             "level": level,
             "n_elems": int(mesh.n_elems),
             "n_dofs": int(2 * mesh.n_nodes),
             "cg_iters": int(iters),
             "elastic_cg_s": t_cg,
-            "newton_iter_s": t_newton,
             "cg_gdof_per_s": 2 * mesh.n_nodes * int(iters) / t_cg / 1e9,
         }
+        if time_newton:
+            # the f64 return-map + CG program compiles impractically slowly
+            # on the axon tunnel; opt-in only (ROADMAP #5)
+            rec["newton_iter_s"] = time_jitted(newton_iter, a, reps=reps)
         results.append(rec)
         if verbose:
             print(json.dumps(rec), flush=True)

@@ -30,13 +30,18 @@ import numpy as np
 SQRT2 = float(np.sqrt(2.0))
 
 
-def _kernel(shear, bulk, eta, c, apply_ep, apex_trial,
-            e0_ref, e3_ref, ep_ref, s_ref, ds_ref, lam_ref, epo_ref):
-    """Fused constitutive update on one (rows, TILE) block."""
-    e0_0 = e0_ref[0, 0]
-    e0_1 = e0_ref[0, 1]
-    e0_2 = e0_ref[0, 2]
-    e0_3 = e0_ref[0, 3]
+def _kernel(shear, bulk, apply_ep, apex_trial,
+            p_ref, e3_ref, ep_ref, s_ref, ds_ref, lam_ref, epo_ref):
+    """Fused constitutive update on one (rows, TILE) block.
+
+    p_ref: (1, 8) runtime scalars [e0_0..e0_3, eta, c, 0, 0] — eta/c are
+    runtime inputs so material-ensemble `vmap` can batch over them."""
+    e0_0 = p_ref[0, 0]
+    e0_1 = p_ref[0, 1]
+    e0_2 = p_ref[0, 2]
+    e0_3 = p_ref[0, 3]
+    eta = p_ref[0, 4]
+    c = p_ref[0, 5]
 
     e4_0 = e3_ref[0, :] + e0_0
     e4_1 = e3_ref[1, :] + e0_1
@@ -186,11 +191,21 @@ def dp_return_map_pallas(
         t //= 2
     grid = (n // t,)
 
-    e0_arr = jnp.zeros((1, 4), dtype) if e0 is None else jnp.asarray(e0, dtype).reshape(1, 4)
+    e0_arr = (
+        jnp.zeros((4,), dtype) if e0 is None else jnp.asarray(e0, dtype).reshape(4)
+    )
+    params = jnp.concatenate(
+        [
+            e0_arr,
+            jnp.asarray(eta, dtype).reshape(1),
+            jnp.asarray(c, dtype).reshape(1),
+            jnp.zeros((2,), dtype),
+        ]
+    ).reshape(1, 8)
 
     kern = functools.partial(
         _kernel,
-        float(shear), float(bulk), float(eta), float(c),
+        float(shear), float(bulk),
         apply_plastic_strain, apex_ep_uses_trial,
     )
     row = lambda r: pl.BlockSpec((r, t), lambda i: (0, i))
@@ -200,7 +215,7 @@ def dp_return_map_pallas(
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 4), lambda i: (0, 0)),
+                pl.BlockSpec((1, 8), lambda i: (0, 0)),
                 row(3),
                 row(4),
             ],
@@ -214,6 +229,7 @@ def dp_return_map_pallas(
             interpret=interpret,
         )(e0_arr, e3, ep_prev)
 
+    e0_arr = params
     if dtype == jnp.float32 and not interpret:
         # Mosaic has no 64-bit vector support; with jax_enable_x64 active,
         # weakly-typed Python scalars inside the kernel otherwise trace as

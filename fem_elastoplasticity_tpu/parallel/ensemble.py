@@ -49,6 +49,9 @@ def material_grid(
     return eta, c
 
 
+_RUN_CACHE: dict = {}
+
+
 def solve_tsx_ensemble(
     etas: jnp.ndarray,
     cs: jnp.ndarray,
@@ -60,7 +63,17 @@ def solve_tsx_ensemble(
     Args:
       etas, cs: (n_b,) plane-strain DP parameters per ensemble member
         (see `material_grid`).
+
+    The jitted program is cached per (cfg, solver), so repeated ensemble
+    sweeps skip Python retracing (~seconds for the vmapped solver).
     """
+    key = (cfg, solver)
+    if key in _RUN_CACHE:
+        run, args_cached, cfg_dtype = _RUN_CACHE[key]
+        res = run(
+            args_cached, jnp.asarray(etas, cfg_dtype), jnp.asarray(cs, cfg_dtype)
+        )
+        return _package(res)
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     dtype = jnp.dtype(cfg.dtype)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
@@ -117,7 +130,12 @@ def solve_tsx_ensemble(
 
         return jax.vmap(one)(etas, cs)
 
+    _RUN_CACHE[key] = (run, args, dtype)
     res = run(args, jnp.asarray(etas, dtype), jnp.asarray(cs, dtype))
+    return _package(res)
+
+
+def _package(res) -> EnsembleResult:
     return EnsembleResult(
         u=res.u.reshape(res.u.shape[0], -1, 2),
         zeta_hist=res.zeta_hist,
