@@ -54,6 +54,17 @@ class FootingConfig:
     bug_compatible_apex: bool = False
     dtype: str = "float64"
 
+    @classmethod
+    def fast(cls, **kw):
+        """f32 fast-path preset (fused Pallas kernel + f32 Cholesky).
+        Tolerances sit at the f32 criterion floor; the adaptive schedule may
+        differ slightly from the f64 reference trajectory, but the limit
+        pressure agrees to ~1e-4."""
+        kw.setdefault("dtype", "float32")
+        kw.setdefault("newton_tol", 1e-6)
+        kw.setdefault("accept_tol", 1e-5)
+        return cls(**kw)
+
 
 @dataclass(frozen=True)
 class TsxTunnelConfig:

@@ -69,3 +69,15 @@ class TestAnchors:
     def test_plasticity_develops(self, result):
         # ~770 integration points yield by zeta=1 in the reference run
         assert result.n_plastic > 500
+
+
+class TestFastPath:
+    def test_fast_preset_limit_pressure(self):
+        """f32 fast path: schedule differs (f32 criterion floor) but the
+        bearing-capacity limit matches the f64 run to ~1e-4."""
+        rf = solve(FootingConfig.fast())
+        r64 = solve(FootingConfig())
+        p32 = float(rf.pressure_hist[rf.n_steps])
+        p64 = float(r64.pressure_hist[16])
+        assert abs(p32 - p64) / p64 < 5e-4
+        assert np.asarray(rf.zeta_hist).max() >= 1.0
