@@ -25,8 +25,11 @@ import numpy as np
 
 
 def run_solve_sweep(
-    levels=(0, 1, 2, 3), reps: int = 3, verbose=True, time_newton: bool = False
+    levels=(0, 1, 2, 3), reps: int = 3, verbose=True, time_newton: bool = False,
+    preconditioner: str = "mg",
 ) -> List[dict]:
+    """preconditioner: "mg" (geometric multigrid V-cycle; mesh-independent
+    iteration counts) or "jacobi" (2x2 block-Jacobi)."""
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +43,7 @@ def run_solve_sweep(
     from ..models.tsx_tunnel import initial_state, tsx_mesh
     from ..ops import assembly as asm
     from ..ops.elements import ElementType, tables, volume_element
+    from ..solve import multigrid as mg
     from ..solve.cg import block_jacobi_preconditioner, solve_cg
     from ..utils.timing import time_jitted
 
@@ -49,6 +53,12 @@ def run_solve_sweep(
     s0, e0 = initial_state(cfg)
     ref = volume_element(ElementType.P1)
 
+    def _free_fn(coords):
+        free = np.ones((coords.shape[0], 2), dtype=bool)
+        free[np.abs(coords[:, 0]) > 49.99, 0] = False
+        free[np.abs(coords[:, 1]) > 49.99, 1] = False
+        return free
+
     @jax.jit
     def elastic_cg(a):
         geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
@@ -56,8 +66,26 @@ def run_solve_sweep(
         s0f = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0f)
         D = elastic_tangent_lanes(G, K, geom.n_int, dtype)
-        blocks = asm.node_block_diagonal(geom, D)
-        pre = block_jacobi_preconditioner(blocks, a["free"].reshape(-1, 2))
+        if preconditioner == "mg":
+            d_fn = lambda g: elastic_tangent_lanes(G, K, g.n_int, dtype)
+            mg_levels = mg.build_mg_levels(a["hier"], a["tab"], d_fn)
+            lev0 = mg_levels[0]
+            K0 = asm.assemble_dense_free(
+                asm.element_stiffness(lev0.geom, lev0.d),
+                lev0.geom, a["fmap0"], a["n_free0"].shape[0],
+            )
+            cho = jax.scipy.linalg.cho_factor(K0)
+            idx0 = a["free_idx0"]
+
+            def coarse_solve(r):
+                return jnp.zeros_like(r).at[idx0].set(
+                    jax.scipy.linalg.cho_solve(cho, r[idx0])
+                )
+
+            pre = mg.make_vcycle(mg_levels, coarse_solve, nu=2)
+        else:
+            blocks = asm.node_block_diagonal(geom, D)
+            pre = block_jacobi_preconditioner(blocks, a["free"].reshape(-1, 2))
         res = solve_cg(
             lambda v: asm.tangent_matvec(geom, D, v),
             -f0,
@@ -102,6 +130,17 @@ def run_solve_sweep(
             u=jnp.zeros(2 * mesh.n_nodes),
             ep=jnp.zeros((4, n_int_pad)),
         )
+        if preconditioner == "mg":
+            base = tsx_mesh(ElementType.P1)
+            a["hier"] = mg.build_hierarchy(
+                base.coords, base.elems, level, _free_fn
+            )
+            fmap0, n_free0 = asm.free_dof_map(np.asarray(a["hier"][0].free))
+            a["fmap0"] = jnp.asarray(fmap0)
+            a["n_free0"] = jnp.zeros((n_free0,), jnp.int8)  # static length carrier
+            a["free_idx0"] = jnp.asarray(
+                np.nonzero(np.asarray(a["hier"][0].free).reshape(-1))[0]
+            )
         u_el, iters = jax.block_until_ready(elastic_cg(a))
         a["u"] = cfg.d_zeta * u_el
         t_cg = time_jitted(elastic_cg, a, reps=reps)

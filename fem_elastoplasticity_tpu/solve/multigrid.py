@@ -1,0 +1,201 @@
+"""Geometric multigrid V-cycle preconditioner (matrix-free, jittable).
+
+Block-Jacobi CG iteration counts grow ~h^-1 under uniform refinement
+(measured 184 -> 1000+ over three red refinements, BENCH_NOTES.md).  The
+red-refinement hierarchy (`mesh/refine.py`) gives geometric multigrid for
+free: every fine node is either a coarse node (same index) or an edge
+midpoint of two coarse parents, so
+
+  * prolongation  P v = [v ; (v[a] + v[b]) / 2]   (gather + average)
+  * restriction   R r = P^T r                      (segment-sum of halves)
+
+Levels hold their own lane-major geometry; smoothing is damped block-Jacobi
+(symmetric, so the V-cycle is SPD and valid as a CG preconditioner), and
+the coarsest level is solved directly with a dense Cholesky factored once.
+
+Everything is jittable with all arrays passed as arguments (axon constant
+pathology — see ops/assembly.py).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.midpoints import _edge_scan
+from ..ops import assembly as asm
+from ..ops.elements import ElementTables, ReferenceElement, tables
+
+
+class MGLevelArrays(NamedTuple):
+    """Per-level arrays (pytree; passed through jit boundaries)."""
+
+    coords: object
+    elems: object
+    free: object  # (n_n, 2) bool
+    parents: object  # (n_new, 2) coarse parents of this level's new nodes
+    # (coarsest level: parents is a (0, 2) placeholder)
+
+
+def build_hierarchy(
+    coords0: np.ndarray,
+    elems0: np.ndarray,
+    levels: int,
+    free_fn,
+) -> List[MGLevelArrays]:
+    """Coarse-to-fine hierarchy by red refinement.
+
+    Args:
+      free_fn: coords -> (n_n, 2) bool free mask (applied per level).
+
+    Returns list of MGLevelArrays, index 0 = coarsest.
+    """
+    out = [
+        MGLevelArrays(
+            coords=jnp.asarray(coords0),
+            elems=jnp.asarray(elems0.astype(np.int32)),
+            free=jnp.asarray(free_fn(coords0)),
+            parents=jnp.zeros((0, 2), jnp.int32),
+        )
+    ]
+    coords, elems = coords0, elems0
+    for _ in range(levels):
+        # identical edge scan as insert_midpoints_p2: new node n_c+k is the
+        # midpoint of unique edge k (owner orientation)
+        v = elems
+        directed = np.stack(
+            [v[:, [1, 2]], v[:, [2, 0]], v[:, [0, 1]]], axis=1
+        ).reshape(-1, 2)
+        first_pos, edge_id, _ = _edge_scan(directed)
+        owners = directed[first_pos]
+        mids = 0.5 * (coords[owners[:, 0]] + coords[owners[:, 1]])
+        coords_f = np.concatenate([coords, mids], axis=0)
+        n_c = coords.shape[0]
+        mid_nodes = (n_c + edge_id).reshape(-1, 3)
+        m23, m31, m12 = mid_nodes[:, 0], mid_nodes[:, 1], mid_nodes[:, 2]
+        v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+        children = np.stack(
+            [
+                np.stack([v0, m12, m31], axis=1),
+                np.stack([v1, m23, m12], axis=1),
+                np.stack([v2, m31, m23], axis=1),
+                np.stack([m12, m23, m31], axis=1),
+            ],
+            axis=1,
+        ).reshape(-1, 3)
+        out.append(
+            MGLevelArrays(
+                coords=jnp.asarray(coords_f),
+                elems=jnp.asarray(children.astype(np.int32)),
+                free=jnp.asarray(free_fn(coords_f)),
+                parents=jnp.asarray(owners.astype(np.int32)),
+            )
+        )
+        coords, elems = coords_f, children
+    return out
+
+
+def prolong(v_c: jnp.ndarray, parents: jnp.ndarray, n_f: int) -> jnp.ndarray:
+    """Coarse DOF vector (2*n_c,) -> fine (2*n_f,)."""
+    n_c = v_c.shape[0] // 2
+    v2 = v_c.reshape(n_c, 2)
+    mid = 0.5 * (v2[parents[:, 0]] + v2[parents[:, 1]])
+    return jnp.concatenate([v2, mid], axis=0).reshape(-1)
+
+
+def restrict(r_f: jnp.ndarray, parents: jnp.ndarray, n_c: int) -> jnp.ndarray:
+    """P^T: fine residual (2*n_f,) -> coarse (2*n_c,)."""
+    r2 = r_f.reshape(-1, 2)
+    own = r2[:n_c]
+    halves = 0.5 * r2[n_c:]
+    scat = jax.ops.segment_sum(
+        jnp.concatenate([halves, halves], axis=0),
+        jnp.concatenate([parents[:, 0], parents[:, 1]]),
+        num_segments=n_c,
+    )
+    return (own + scat).reshape(-1)
+
+
+class MGLevel(NamedTuple):
+    """Built per-level state (geometry + smoother) — pytree."""
+
+    geom: asm.Geometry
+    d: object  # (3, 3, n_int) material tangent at this level
+    free_flat: object  # (2*n_n,) bool
+    inv_blocks: object  # (n_n, 2, 2) damped-Jacobi inverse blocks
+    parents: object
+
+
+def build_mg_levels(hier: List[MGLevelArrays], tab: ElementTables, d_fn, omega=0.7):
+    """Per-level geometry, tangent and smoother blocks (jittable).
+
+    d_fn: (geom) -> (3, 3, n_int) material tangent for that level.
+    """
+    levels = []
+    for lv in hier:
+        geom = asm.compute_geometry(lv.coords, lv.elems, tab)
+        d = d_fn(geom)
+        blocks = asm.node_block_diagonal(geom, d)
+        free2 = lv.free
+        mask = free2[:, :, None] & free2[:, None, :]
+        b = jnp.where(mask, blocks, 0.0)
+        eye = jnp.eye(2, dtype=blocks.dtype)
+        b = b + eye * (~free2).astype(blocks.dtype)[:, :, None]
+        a_, b_, c_, dd = b[:, 0, 0], b[:, 0, 1], b[:, 1, 0], b[:, 1, 1]
+        det = a_ * dd - b_ * c_
+        inv = (
+            jnp.stack(
+                [jnp.stack([dd, -b_], -1), jnp.stack([-c_, a_], -1)], -2
+            )
+            / det[:, None, None]
+        ) * omega
+        levels.append(
+            MGLevel(
+                geom=geom,
+                d=d,
+                free_flat=free2.reshape(-1),
+                inv_blocks=inv,
+                parents=lv.parents,
+            )
+        )
+    return levels
+
+
+def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
+    """V-cycle preconditioner application r -> z (approximate K^{-1} r).
+
+    Args:
+      levels: coarse-to-fine MGLevel list.
+      coarse_solve: (r_free_masked (2*n_c,)) -> z at the coarsest level.
+      nu: pre/post smoothing sweeps (damped block-Jacobi).
+    """
+
+    def smooth(lev: MGLevel, z, r):
+        for _ in range(nu):
+            res = r - asm.tangent_matvec(lev.geom, lev.d, z)
+            res = jnp.where(lev.free_flat, res, 0.0)
+            dz = jnp.einsum(
+                "nij,nj->ni", lev.inv_blocks, res.reshape(-1, 2)
+            ).reshape(-1)
+            z = z + jnp.where(lev.free_flat, dz, 0.0)
+        return z
+
+    def vcycle(li: int, r):
+        lev = levels[li]
+        r = jnp.where(lev.free_flat, r, 0.0)
+        if li == 0:
+            return jnp.where(lev.free_flat, coarse_solve(r), 0.0)
+        z = smooth(lev, jnp.zeros_like(r), r)
+        res = r - asm.tangent_matvec(lev.geom, lev.d, z)
+        res = jnp.where(lev.free_flat, res, 0.0)
+        n_c = levels[li - 1].geom.n_nodes
+        r_c = restrict(res, lev.parents, n_c)
+        z_c = vcycle(li - 1, r_c)
+        z = z + jnp.where(
+            lev.free_flat, prolong(z_c, lev.parents, lev.geom.n_nodes), 0.0
+        )
+        return smooth(lev, z, r)
+
+    return lambda r: vcycle(len(levels) - 1, r)
