@@ -135,6 +135,30 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     )
     n_nodes = mesh.n_nodes
 
+    if cfg.solver == "mg":
+        # geometric multigrid on the refinement hierarchy (P1 only)
+        assert cfg.etype == ElementType.P1, "mg solver requires P1"
+        from ..solve import multigrid as mg
+
+        raw = np.load(_DATA)
+        base_c, base_e = raw["coords"].astype(np.float64), raw["elems"]
+
+        def _free_fn(c):
+            fr = np.ones((c.shape[0], 2), dtype=bool)
+            fr[np.abs(c[:, 0]) > 49.99, 0] = False
+            fr[np.abs(c[:, 1]) > 49.99, 1] = False
+            return fr
+
+        args["hier"] = mg.build_hierarchy(
+            base_c, base_e, cfg.refine_levels, _free_fn
+        )
+        fmap0_np, n_free0 = asm.free_dof_map(np.asarray(args["hier"][0].free))
+        args["fmap0"] = jnp.asarray(fmap0_np)
+        args["free_idx0"] = jnp.asarray(
+            np.nonzero(np.asarray(args["hier"][0].free).reshape(-1))[0]
+        )
+        n_free0_static = n_free0
+
     @jax.jit
     def run(a):
         geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
@@ -153,6 +177,27 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
             jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
         )
 
+        mg_pre = None
+        if cfg.solver == "mg":
+            from ..solve import multigrid as mg
+
+            d_fn = lambda g: elastic_tangent_lanes(shear, bulk, g.n_int, dtype)
+            mg_levels = mg.build_mg_levels(a["hier"], a["tab"], d_fn)
+            lev0 = mg_levels[0]
+            K0 = asm.assemble_dense_free(
+                asm.element_stiffness(lev0.geom, lev0.d),
+                lev0.geom, a["fmap0"], n_free0_static,
+            )
+            cho0 = jax.scipy.linalg.cho_factor(K0)
+            idx0 = a["free_idx0"]
+
+            def coarse_solve(r):
+                return jnp.zeros_like(r).at[idx0].set(
+                    jax.scipy.linalg.cho_solve(cho0, r[idx0])
+                )
+
+            mg_pre = mg.make_vcycle(mg_levels, coarse_solve, nu=2)
+
         stepper = build_load_stepper(
             geom,
             a["free_idx"],
@@ -167,6 +212,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
             monitor=lambda u, s: u[monitor_dof],
             solver=cfg.solver,
             dense_mode=cfg.dense_mode,
+            mg_preconditioner=mg_pre,
         )
         return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
 

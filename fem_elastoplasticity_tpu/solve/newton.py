@@ -111,6 +111,7 @@ def build_load_stepper(
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
     use_pallas: Optional[bool] = None,
+    mg_preconditioner: Optional[Callable] = None,
 ):
     """Build the jittable load-stepping driver.
 
@@ -124,7 +125,12 @@ def build_load_stepper(
       accept_hook:(monitor_value, aux, criterion) -> (aux', dzeta_factor);
                   default keeps d_zeta (tsx).  Footing doubles it when the
                   pressure increment is small (P:1109-1110).
-      solver:     "dense" (reference-parity LU) or "cg" (matrix-free PCG).
+      solver:     "dense" (reference-parity direct), "cg" (matrix-free
+                  block-Jacobi PCG), or "mg" (matrix-free PCG with a
+                  caller-supplied geometric-multigrid V-cycle; pass
+                  `mg_preconditioner` built by `solve.multigrid.make_vcycle`
+                  on the *elastic* hierarchy — an effective preconditioner
+                  for the elastoplastic tangent since yielding is local).
       axis_name:  mesh axis over which elements are sharded (shard_map
                   SPMD).  Nodal reductions psum over it; DOF vectors and
                   the Newton control flow are replicated, so every device
@@ -203,8 +209,11 @@ def build_load_stepper(
             else:
                 dU_free = _spd_solve(K_free, -f_int[free_idx])
             return jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
-        blocks = asm.node_block_diagonal(geom, d, axis_name=axis_name)
-        pre = block_jacobi_preconditioner(blocks, free_mask.reshape(-1, 2))
+        if solver == "mg" and mg_preconditioner is not None:
+            pre = mg_preconditioner
+        else:
+            blocks = asm.node_block_diagonal(geom, d, axis_name=axis_name)
+            pre = block_jacobi_preconditioner(blocks, free_mask.reshape(-1, 2))
         res = solve_cg(
             lambda v: asm.tangent_matvec(geom, d, v, axis_name=axis_name),
             -f_int,

@@ -107,3 +107,17 @@ class TestVCyclePCG:
         r2 = solve_cg(A, -f0, free2, precond=bj, tol=1e-12, maxiter=2000)
         rel = float(jnp.abs(r1.x - r2.x).max() / jnp.abs(r2.x).max())
         assert rel < 1e-10
+
+
+class TestFullSolveWithMG:
+    def test_adaptive_solve_mg_matches_cg(self):
+        """Full load-stepped elastoplastic solve on a refined mesh with the
+        multigrid-preconditioned tangent CG matches block-Jacobi CG."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import solve
+
+        r_mg = solve(TsxTunnelConfig(solver="mg", refine_levels=1))
+        r_cg = solve(TsxTunnelConfig(solver="cg", refine_levels=1))
+        assert r_mg.n_steps == r_cg.n_steps == 17
+        np.testing.assert_allclose(
+            np.asarray(r_mg.u), np.asarray(r_cg.u), atol=1e-14
+        )
