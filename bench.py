@@ -94,6 +94,8 @@ def main() -> None:
             .at[a["free_idx"]]
             .set(jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]]))
         )
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import _elastic_factor
+
         stepper = build_load_stepper(
             geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
             settings,
@@ -101,6 +103,7 @@ def main() -> None:
             monitor=lambda u, s: u[2 * cfg.monitor_node],
             solver=cfg.solver,
             dense_mode=cfg.dense_mode,
+            elastic_factor=_elastic_factor(K_free, cho, cfg.dense_mode, dtype),
         )
         return stepper(cfg.d_zeta * u_el, 0.0, cfg.d_zeta)
 

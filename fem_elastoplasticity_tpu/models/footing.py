@@ -21,6 +21,7 @@ from ..ops.elements import volume_element
 from ..solve.newton import NewtonSettings, build_load_stepper
 from ..ops.elements import tables
 from .config import FootingConfig
+from .tsx_tunnel import _elastic_factor
 from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
 
@@ -120,6 +121,11 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             settings, e0_dir=None, monitor=monitor, accept_hook=accept_hook,
             solver=cfg.solver, apex_ep_uses_trial=cfg.bug_compatible_apex,
             dense_mode=cfg.dense_mode,
+            elastic_factor=(
+                _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
+                if cfg.solver == "dense"
+                else None
+            ),
         )
         return stepper(U_it0, 0.0, cfg.d_zeta)
 

@@ -26,6 +26,21 @@ from .config import TsxTunnelConfig
 _DATA = pathlib.Path(__file__).parent.parent / "data" / "tsx_tunnel_mesh.npz"
 
 
+def _elastic_factor(K_free, cho, dense_mode, dtype):
+    """Prefactored elastic stiffness for newton.newton_solve reuse."""
+    import jax
+    import jax.numpy as jnp
+
+    if dense_mode == "mixed" and dtype == jnp.float64:
+        d = jax.lax.rsqrt(jnp.diagonal(K_free))
+        cho32 = jax.scipy.linalg.cho_factor(
+            (K_free * d[:, None] * d[None, :]).astype(jnp.float32)
+        )
+        return (cho32, d)
+    return cho
+
+
+
 class TsxResult(NamedTuple):
     u: jnp.ndarray  # (n_n, 2)
     ep: jnp.ndarray
@@ -213,6 +228,11 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
             solver=cfg.solver,
             dense_mode=cfg.dense_mode,
             mg_preconditioner=mg_pre,
+            elastic_factor=(
+                _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
+                if cfg.solver == "dense"
+                else None
+            ),
         )
         return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
 

@@ -119,12 +119,21 @@ def solve_tsx_ensemble(
         u_elast = jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
         U_it0 = cfg.d_zeta * u_elast
 
+        from ..models.tsx_tunnel import _elastic_factor
+
+        ef = (
+            _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
+            if solver == "dense"
+            else None
+        )
+
         def one(eta, c):
             stepper = build_load_stepper(
                 geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
                 settings, e0_dir=a["e0"],
                 monitor=lambda u, s: u[monitor_dof],
                 solver=solver,
+                elastic_factor=ef,
             )
             return stepper(U_it0, 0.0, cfg.d_zeta)
 

@@ -112,6 +112,7 @@ def build_load_stepper(
     dense_mode: str = "f64",
     use_pallas: Optional[bool] = None,
     mg_preconditioner: Optional[Callable] = None,
+    elastic_factor=None,
 ):
     """Build the jittable load-stepping driver.
 
@@ -125,6 +126,12 @@ def build_load_stepper(
       accept_hook:(monitor_value, aux, criterion) -> (aux', dzeta_factor);
                   default keeps d_zeta (tsx).  Footing doubles it when the
                   pressure increment is small (P:1109-1110).
+      elastic_factor: prefactored elastic stiffness for the dense solver
+                  (the cho_factor pair for plain Cholesky, or
+                  (cho32, jacobi_scale) for dense_mode="mixed").  When no
+                  integration point is plastic the tangent equals the
+                  elastic stiffness bitwise, so the factorization is
+                  skipped via lax.cond — the trajectory is unchanged.
       solver:     "dense" (reference-parity direct), "cg" (matrix-free
                   block-Jacobi PCG), or "mg" (matrix-free PCG with a
                   caller-supplied geometric-multigrid V-cycle; pass
@@ -191,7 +198,7 @@ def build_load_stepper(
         q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
         return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
 
-    def newton_solve(d, f_int, dU_prev):
+    def newton_solve(d, f_int, dU_prev, any_plastic):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
         d: (3, 3, n_int) consistent tangent."""
@@ -200,14 +207,42 @@ def build_load_stepper(
             K_free = asm.assemble_dense_free(ke, geom, fmap, n_free)
             if axis_name is not None:
                 K_free = jax.lax.psum(K_free, axis_name)
+            rhs = -f_int[free_idx]
             # Cholesky: the consistent tangent is symmetric PSD (associated
             # flow); TPU XLA implements f64 cholesky/triangular_solve but
             # not LU.  An indefinite matrix yields NaN -> the NaN guard
             # treats it as divergence, like the reference (P:1076-1078).
-            if dense_mode == "mixed" and K_free.dtype == jnp.float64:
-                dU_free = _spd_solve_mixed(K_free, -f_int[free_idx])
+            mixed = dense_mode == "mixed" and K_free.dtype == jnp.float64
+            fresh = (
+                (lambda: _spd_solve_mixed(K_free, rhs))
+                if mixed
+                else (lambda: _spd_solve(K_free, rhs))
+            )
+            if elastic_factor is None:
+                dU_free = fresh()
             else:
-                dU_free = _spd_solve(K_free, -f_int[free_idx])
+                # elastic iterations: K_free == K_elast bitwise -> reuse
+                # the prefactored elastic Cholesky (skips the O(n^3) factor)
+                if mixed:
+                    cho32, dscale = elastic_factor
+
+                    def reuse():
+                        def apply_inv(r):
+                            y = jax.scipy.linalg.cho_solve(
+                                cho32, (r * dscale).astype(jnp.float32)
+                            )
+                            return y.astype(K_free.dtype) * dscale
+
+                        x = apply_inv(rhs)
+                        for _ in range(3):
+                            x = x + apply_inv(rhs - K_free @ x)
+                        return x
+
+                else:
+                    reuse = lambda: jax.scipy.linalg.cho_solve(
+                        elastic_factor, rhs
+                    )
+                dU_free = jax.lax.cond(any_plastic, fresh, reuse)
             return jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
@@ -235,9 +270,12 @@ def build_load_stepper(
 
         def body(carry):
             U_it, dU_prev, _, it, _ = carry
-            s_rm, ds_rm, _, _, _ = return_map(U_it, ep, zeta)
+            s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
             f_int = asm.internal_force(geom, s_rm[:3], axis_name=axis_name)
-            dU = newton_solve(ds_rm, f_int, dU_prev)
+            any_p = ind_p.any()
+            if axis_name is not None:
+                any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
+            dU = newton_solve(ds_rm, f_int, dU_prev, any_p)
             U_new = U_it + dU
             q1, q2, q3 = criterion_norms(dU, U_it)
             crit = q1 / (q2 + q3)
