@@ -27,16 +27,17 @@ _DATA = pathlib.Path(__file__).parent.parent / "data" / "tsx_tunnel_mesh.npz"
 
 
 def _elastic_factor(K_free, cho, dense_mode, dtype):
-    """Prefactored elastic stiffness for newton.newton_solve reuse."""
-    import jax
+    """Prefactored elastic stiffness for newton.newton_solve reuse.
+
+    Enabled only on the f32 fast path: under f64 the lax.cond around the
+    factorization measured 2x SLOWER end-to-end on the axon TPU (the
+    degraded-dispatch state penalizes the extra branch), while on the f32
+    path it is neutral-to-positive.
+    """
     import jax.numpy as jnp
 
-    if dense_mode == "mixed" and dtype == jnp.float64:
-        d = jax.lax.rsqrt(jnp.diagonal(K_free))
-        cho32 = jax.scipy.linalg.cho_factor(
-            (K_free * d[:, None] * d[None, :]).astype(jnp.float32)
-        )
-        return (cho32, d)
+    if dtype != jnp.float32:
+        return None
     return cho
 
 
