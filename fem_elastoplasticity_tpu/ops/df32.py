@@ -1,0 +1,154 @@
+"""Double-float (two-f32) arithmetic building blocks.
+
+TPU hardware has no f64 ALUs (XLA emulates f64 ~10x slower and Mosaic/
+Pallas has no f64 at all).  Double-float arithmetic represents a value as
+an unevaluated sum `hi + lo` of two f32s (~48-bit effective mantissa,
+~1e-14 relative), using error-free transformations:
+
+  * two_sum   (Knuth)   — exact a + b = s + e with 6 f32 ops,
+  * split/two_prod (Dekker) — exact a * b = p + e without FMA,
+  * df_* — double-float add/sub/mul/div/sqrt built on them.
+
+These functions are pure jnp elementwise ops, valid inside Pallas kernels
+(f32 only) and under jit on any backend.  They are the substrate for the
+ROADMAP double-f32 residual path: Newton residuals/criteria at ~1e-14
+relative accuracy computed entirely in f32 hardware.
+
+IMPORTANT: error-free transforms are destroyed by FMA contraction or
+reassociation.  XLA does not contract a*b+c written as separate jnp ops,
+and `jax_default_matmul_precision=highest` covers dots; keep these
+functions free of `jnp.dot`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+_SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting
+
+
+class DF(NamedTuple):
+    """Double-float number: value = hi + lo, |lo| <= ulp(hi)/2."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def df(x) -> DF:
+    """Lift an f32 array (or f64 array, split exactly) to double-float."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        hi = x.astype(jnp.float32)
+        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+        return DF(hi, lo)
+    return DF(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32))
+
+
+def to_f64(a: DF) -> jnp.ndarray:
+    return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+def two_sum(a, b):
+    """Exact a + b = (s, e) (Knuth; no magnitude assumption)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Exact a + b = (s, e), REQUIRES |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split(a):
+    """Dekker split: a = x + y with 12-bit halves (f32)."""
+    c = _SPLITTER * a
+    x = c - (c - a)
+    y = a - x
+    return x, y
+
+
+def two_prod(a, b):
+    """Exact a * b = (p, e) via Dekker splitting (no FMA dependency)."""
+    p = a * b
+    a1, a2 = split(a)
+    b1, b2 = split(b)
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
+
+
+def df_add(a: DF, b: DF) -> DF:
+    s, e = two_sum(a.hi, b.hi)
+    e = e + a.lo + b.lo
+    hi, lo = fast_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_neg(a: DF) -> DF:
+    return DF(-a.hi, -a.lo)
+
+
+def df_sub(a: DF, b: DF) -> DF:
+    return df_add(a, df_neg(b))
+
+
+def df_mul(a: DF, b: DF) -> DF:
+    p, e = two_prod(a.hi, b.hi)
+    e = e + a.hi * b.lo + a.lo * b.hi
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_const(c: float, like=None) -> DF:
+    """Lift a Python/f64 scalar to a double-float constant (exact split)."""
+    import numpy as np
+
+    hi = np.float32(c)
+    lo = np.float32(float(c) - float(hi))
+    if like is None:
+        return DF(jnp.float32(hi), jnp.float32(lo))
+    z = 0 * like
+    return DF(z + jnp.float32(hi), z + jnp.float32(lo))
+
+
+def df_scale(a: DF, c: float) -> DF:
+    """Multiply by a scalar (the scalar itself carried in double-float)."""
+    return df_mul(a, df_const(c, like=a.hi))
+
+
+def df_div(a: DF, b: DF) -> DF:
+    """Division via one Newton correction of the f32 quotient."""
+    q1 = a.hi / b.hi
+    # r = a - q1*b (double-float)
+    p, e = two_prod(q1, b.hi)
+    r_hi, r_e = two_sum(a.hi, -p)
+    r = r_hi + (r_e + a.lo - e - q1 * b.lo)
+    q2 = r / b.hi
+    hi, lo = fast_two_sum(q1, q2)
+    return DF(hi, lo)
+
+
+def df_sqrt(a: DF) -> DF:
+    """Square root via one Newton correction of the f32 root."""
+    s1 = jnp.sqrt(a.hi)
+    # r = a - s1^2
+    p, e = two_prod(s1, s1)
+    r_hi, r_e = two_sum(a.hi, -p)
+    r = r_hi + (r_e + a.lo - e)
+    safe = jnp.where(s1 > 0, s1, 1.0)
+    s2 = jnp.where(s1 > 0, r / (2.0 * safe), 0.0)
+    hi, lo = fast_two_sum(s1, s2)
+    return DF(hi, lo)
+
+
+def df_sum3(a: DF, b: DF, c: DF) -> DF:
+    return df_add(df_add(a, b), c)
+
+
+def df_dot_accumulate(acc: DF, x: DF, y: DF) -> DF:
+    """acc + x*y (compensated multiply-accumulate)."""
+    return df_add(acc, df_mul(x, y))
