@@ -5,8 +5,17 @@ Newton solve on the tsx-tunnel P1 mesh.  Baseline: the unmodified
 NumPy/SciPy reference takes 1.36 s on the container CPU (BASELINE.md,
 measured); `vs_baseline` is the speedup over that.
 
-Prints exactly one JSON line.  Correctness is asserted against the
-behavioral anchors before timing (a fast wrong answer doesn't count).
+Path benchmarked: the double-float (df32) fast path — every hot op in f32
+TPU hardware, the Newton residual/criterion/state in two-f32 pairs — which
+reproduces the f64 parity trajectory (17 steps / 28 Newton iterations) and
+matches the f64 displacement field to ~5e-14 relative (see
+solve/newton.py).  Correctness is asserted before timing (a fast wrong
+answer doesn't count).
+
+Also emitted (VERDICT r1 #6): an operator-throughput utilization estimate —
+one matrix-free elastic matvec on the level-4 refined mesh (227k elements),
+reported as GDOF/s and as a fraction of v5e HBM bandwidth (the op is
+bandwidth-bound: arithmetic intensity ~0.6 flop/byte).
 
 All arrays cross the jit boundary as arguments (never closure constants —
 the axon TPU runtime degrades ~300x after executing a program with
@@ -15,112 +24,107 @@ embedded array constants; see ops/assembly.py).
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 BASELINE_WALL_S = 1.36  # reference tsx P1 solve, container CPU (BASELINE.md)
-ANCHOR_U40 = -1.979450e-03
+# final monitored displacement of this repo's f64 parity path (fixed
+# ep-accumulation semantics; the raw reference's value is -1.979449671e-03
+# under its Ep-reset quirk — see PARITY.md)
+ANCHOR_U40_F64 = -1.9794499636012143e-03
+# v5e peak HBM bandwidth (public spec): 819 GB/s
+V5E_HBM_BYTES_S = 819e9
+
+
+def _bench_solve(jax, np):
+    from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+
+    cfg = TsxTunnelConfig.fast()
+    run, args, mesh = tsx.build_df32(cfg)
+
+    # warmup + correctness gate
+    res = jax.block_until_ready(run(args))
+    u40 = float(np.asarray(res.u.hi, np.float64)[2 * cfg.monitor_node]) + float(
+        np.asarray(res.u.lo, np.float64)[2 * cfg.monitor_node]
+    )
+    rel_err = abs(u40 - ANCHOR_U40_F64) / abs(ANCHOR_U40_F64)
+    assert int(res.n_steps) == 17, f"step count {int(res.n_steps)} != 17"
+    assert int(res.n_newton_total) == 28, (
+        f"newton iterations {int(res.n_newton_total)} != 28"
+    )
+    assert rel_err < 1e-9, u40
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), rel_err
+
+
+def _bench_matvec_utilization(jax, np):
+    """Matrix-free elastic K*u on the level-4 mesh: GDOF/s + HBM fraction."""
+    import jax.numpy as jnp
+
+    from fem_elastoplasticity_tpu.mesh.refine import refine_uniform
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+    from fem_elastoplasticity_tpu.models.materials import (
+        elastic_tangent_lanes,
+        lame_moduli,
+    )
+    from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+    from fem_elastoplasticity_tpu.ops import assembly as asm
+    from fem_elastoplasticity_tpu.ops.elements import tables, volume_element
+
+    cfg = TsxTunnelConfig(refine_levels=4)  # 227k elements / 228k DOFs
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    ref = volume_element(cfg.etype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    f32 = jnp.float32
+    tab = tables(ref)
+    tab = type(tab)(*[jnp.asarray(x, f32) for x in tab])
+    args = dict(
+        coords=jnp.asarray(mesh.coords, f32),
+        elems=jnp.asarray(mesh.elems),
+        tab=tab,
+        u=jnp.ones((2 * mesh.n_nodes,), f32),
+    )
+    n_iters = 50
+
+    @jax.jit
+    def apply_n(a):
+        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+        D = elastic_tangent_lanes(shear, bulk, geom.n_int, f32)
+
+        def body(_, v):
+            w = asm.tangent_matvec(geom, D, v)
+            return w / (1.0 + jnp.abs(w).max())  # keep values bounded
+
+        return jax.lax.fori_loop(0, n_iters, body, a["u"])
+
+    jax.block_until_ready(apply_n(args))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(apply_n(args))
+    wall = (time.perf_counter() - t0) / n_iters
+
+    n_dofs = 2 * mesh.n_nodes
+    n_e = mesh.n_elems
+    gdof_s = n_dofs / wall / 1e9
+    # traffic model per element (P1, f32): B blocks 3*6*4B read, edofs
+    # 6*4B, gathered u 6*4B, weights 4B, scattered force ~6*4B -> ~148 B
+    bytes_per_elem = (3 * 6 + 6 + 6 + 1 + 6) * 4
+    hbm_frac = (n_e * bytes_per_elem / wall) / V5E_HBM_BYTES_S
+    return gdof_s, hbm_frac
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    import fem_elastoplasticity_tpu  # noqa: F401  (enables x64)
-    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
-    from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
-    from fem_elastoplasticity_tpu.models.materials import (
-        drucker_prager_fit,
-        elastic_tangent_lanes,
-        lame_moduli,
-    )
-    from fem_elastoplasticity_tpu.ops import assembly as asm
-    from fem_elastoplasticity_tpu.ops.elements import tables, volume_element
-    from fem_elastoplasticity_tpu.solve.newton import (
-        NewtonSettings,
-        build_load_stepper,
-    )
+    import fem_elastoplasticity_tpu  # noqa: F401  (enables x64 + CPU flags)
 
-    # f32 fast path: fused Pallas constitutive kernel + f32 Cholesky.
-    # Wall displacement is gated below at 1e-6 relative vs the reference
-    # anchor (measured: 1.2e-7); the f64 parity path (4.4x) is exercised by
-    # the test suite.
-    cfg = TsxTunnelConfig.fast()
-    mesh = tsx.tsx_mesh(cfg.etype)
-    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
-    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
-    s0, e0 = tsx.initial_state(cfg)
-
-    ref = volume_element(cfg.etype)
-    fmap_np, n_free = asm.free_dof_map(mesh.free)
-    n_nodes = mesh.n_nodes
-
-    settings = NewtonSettings(
-        maxit=cfg.newton_maxit,
-        newton_tol=cfg.newton_tol,
-        accept_tol=cfg.accept_tol,
-        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
-        zeta_max=cfg.zeta_max,
-        max_steps=cfg.max_steps,
-        step0=0,
-    )
-
-    dt = jnp.dtype(cfg.dtype)
-    tab = tables(ref)
-    tab = type(tab)(*[jnp.asarray(x, dt) for x in tab])
-    args = dict(
-        coords=jnp.asarray(mesh.coords, dt),
-        elems=jnp.asarray(mesh.elems),
-        tab=tab,
-        fmap=jnp.asarray(fmap_np),
-        free_idx=jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0]),
-        s0=jnp.asarray(s0, dt),
-        e0=jnp.asarray(e0, dt),
-    )
-
-    @jax.jit
-    def full_solve(a):
-        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
-        dtype = a["coords"].dtype
-        s0f = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
-        f0 = asm.internal_force(geom, s0f)
-        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
-        ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el = (
-            jnp.zeros((2 * n_nodes,), dtype)
-            .at[a["free_idx"]]
-            .set(jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]]))
-        )
-        from fem_elastoplasticity_tpu.models.tsx_tunnel import _elastic_factor
-
-        stepper = build_load_stepper(
-            geom, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
-            settings,
-            e0_dir=a["e0"],
-            monitor=lambda u, s: u[2 * cfg.monitor_node],
-            solver=cfg.solver,
-            dense_mode=cfg.dense_mode,
-            elastic_factor=_elastic_factor(K_free, cho, cfg.dense_mode, dtype),
-        )
-        return stepper(cfg.d_zeta * u_el, 0.0, cfg.d_zeta)
-
-    # warmup + correctness gate
-    res = jax.block_until_ready(full_solve(args))
-    u40 = float(res.u[2 * cfg.monitor_node])
-    rel_err = abs(u40 - ANCHOR_U40) / abs(ANCHOR_U40)
-    assert int(res.n_steps) == 17, f"step count {int(res.n_steps)} != 17"
-    assert rel_err < 1e-6, u40
-
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(full_solve(args))
-        times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
+    wall, rel_err = _bench_solve(jax, np)
+    gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
 
     print(
         json.dumps(
@@ -129,8 +133,10 @@ def main() -> None:
                 "value": wall,
                 "unit": "s",
                 "vs_baseline": BASELINE_WALL_S / wall,
-                "precision": "f32_pallas_fast_path",
-                "rel_err_vs_reference": rel_err,
+                "precision": "df32_fast_path",
+                "rel_err_vs_f64_trajectory": rel_err,
+                "gdof_per_s_matvec_l4": gdof_s,
+                "hbm_utilization_matvec_l4": hbm_frac,
             }
         )
     )

@@ -26,7 +26,9 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
 
     import jax
 
-    cfg = TsxTunnelConfig.fast()
+    # pure-f32 preset: the ensemble stepper is the native (Pallas) path;
+    # the df32 fast preset is the single-solve accuracy path
+    cfg = TsxTunnelConfig.fast_f32()
     t0 = time.perf_counter()
     res = jax.block_until_ready(solve_tsx_ensemble(eta, c, cfg))
     first = time.perf_counter() - t0

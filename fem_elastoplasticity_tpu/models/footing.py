@@ -52,6 +52,13 @@ def build_mesh(cfg: FootingConfig) -> Mesh:
 
 
 def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
+    """Run the footing benchmark.
+
+    cfg.precision == "df32" runs the double-float fast path (f32 hardware,
+    f64-grade stopping behavior — see solve/newton.py docstring).
+    """
+    if cfg.precision == "df32":
+        return _solve_df32(cfg)
     mesh = build_mesh(cfg)
     dtype = jnp.dtype(cfg.dtype)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
@@ -122,7 +129,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             solver=cfg.solver, apex_ep_uses_trial=cfg.bug_compatible_apex,
             dense_mode=cfg.dense_mode,
             elastic_factor=(
-                _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
+                _elastic_factor(cho, dtype)
                 if cfg.solver == "dense"
                 else None
             ),
@@ -136,6 +143,129 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
         zeta_hist=res.zeta_hist,
         pressure_hist=res.monitor_hist,
         n_steps=int(res.n_steps) - 1,  # step counter started at 1
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )
+
+
+def _solve_df32(cfg: FootingConfig) -> FootingResult:
+    """Double-float fast path: f32 hardware, the f64 adaptive schedule.
+
+    Mirrors `models.tsx_tunnel._solve_df32`; the footing's inhomogeneous
+    Dirichlet load rides the df32 state (the warm-start extrapolation sets
+    the constrained DOFs exactly since they are linear in zeta)."""
+    import jax
+
+    from ..ops import assembly as asm
+    from ..ops import assembly_df as adf
+    from ..ops.df32 import DF, df_const, df_mul, df_pin
+    from ..ops.elements import tables, volume_element
+    from ..solve.newton import NewtonSettings, build_load_stepper
+    from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
+
+    assert cfg.solver == "dense", "df32 fast path uses the dense solver"
+    mesh = build_mesh(cfg)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+    ref = volume_element(cfg.etype)
+    gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+    n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
+    f32 = jnp.float32
+
+    footing_nodes = jnp.asarray(mesh.dirichlet[:, 1] > 0)
+    n_footing = int((mesh.dirichlet[:, 1] > 0).sum())
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=1,  # reference starts its history at index 1 (P:1025)
+    )
+
+    args = dict(
+        B_hi=gdf.hi.B, w_hi=gdf.hi.weight,
+        edofs=gdf.hi.edofs, edofs_t=gdf.hi.edofs_t,
+        B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap,
+        fmap=fmap, free_idx=free_idx,
+        dirichlet=jnp.asarray(mesh.dirichlet.reshape(-1), f32),
+        footing=footing_nodes,
+        pinz=jnp.zeros((max(4 * gdf.hi.n_int, 2 * n_nodes),), f32),
+    )
+
+    @jax.jit
+    def run(a):
+        g = adf.GeometryDF(
+            hi=asm.Geometry(
+                B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
+                edofs_t=a["edofs_t"], n_nodes=n_nodes, n_q=n_q, n_real=n_real,
+            ),
+            B_lo=a["B_lo"], w_lo=a["w_lo"], gmap=a["gmap"],
+        )
+        n_int = g.hi.n_int
+
+        # elastic predictor with inhomogeneous Dirichlet (P:996-1004):
+        # ud = -d_zeta * dirichlet exactly (dirichlet is a 0/1 pattern);
+        # solve K u = 0 on free DOFs with u = ud elsewhere, df32-accurate.
+        d_zeta = df_const(cfg.d_zeta)
+        dir_df = DF(a["dirichlet"], jnp.zeros_like(a["dirichlet"]))
+        ud = df_mul(dir_df, DF(-d_zeta.hi, -d_zeta.lo))
+        D = elastic_tangent_lanes(shear, bulk, n_int, f32)
+        ke = asm.element_stiffness(g.hi, D)
+        K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        zero_f = DF(
+            jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
+        )
+        U_it0 = adf.refine_elastic_solve_df(
+            g, cho, a["free_idx"], ud, zero_f, shear, bulk
+        )
+
+        def monitor(u, s):
+            # normalized mean footing pressure (P:1105-1107), f32 head
+            p_node = asm.project_to_nodes(g.hi, s.hi[1])
+            p = -jnp.sum(jnp.where(a["footing"], p_node, 0.0)) / (
+                n_footing * cfg.cohesion
+            )
+            return DF(p, jnp.zeros_like(p))
+
+        def accept_hook(pressure, pressure_old, crit):
+            factor = jnp.where(
+                (pressure - pressure_old < 0.1) & (crit < cfg.newton_tol),
+                jnp.asarray(2.0, f32),
+                jnp.asarray(1.0, f32),
+            )
+            return pressure, factor
+
+        stepper = build_load_stepper(
+            g, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
+            settings,
+            e0_dir=None,
+            monitor=monitor,
+            accept_hook=accept_hook,
+            solver="dense",
+            apex_ep_uses_trial=cfg.bug_compatible_apex,
+            elastic_factor=cho,
+            precision="df32",
+            pin_zeros=a["pinz"],
+        )
+        return stepper(df_pin(U_it0, a["pinz"]), 0.0, d_zeta)
+
+    res = run(args)
+    f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    return FootingResult(
+        u=f64(res.u).reshape(-1, 2),
+        ep=f64(res.ep),
+        zeta_hist=np.asarray(res.zeta_hist, np.float64),
+        pressure_hist=f64(res.monitor_hist),
+        n_steps=int(res.n_steps) - 1,
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,

@@ -26,7 +26,7 @@ from .config import TsxTunnelConfig
 _DATA = pathlib.Path(__file__).parent.parent / "data" / "tsx_tunnel_mesh.npz"
 
 
-def _elastic_factor(K_free, cho, dense_mode, dtype):
+def _elastic_factor(cho, dtype):
     """Prefactored elastic stiffness for newton.newton_solve reuse.
 
     Enabled only on the f32 fast path: under f64 the lax.cond around the
@@ -101,7 +101,12 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     Parity: `tsx-tunnel/pythonFEM.py:1763-1832`.  Anchors (SURVEY.md §8.1):
     17 accepted steps, 28 Newton iterations, final u_x(node 40) =
     -1.979450e-03 at zeta = 1.
+
+    cfg.precision == "df32" runs the double-float fast path: the same
+    trajectory and ~1e-12 accuracy at pure-f32 speed (see solve/newton.py).
     """
+    if cfg.precision == "df32":
+        return _solve_df32(cfg)
     import jax
 
     from ..ops import assembly as asm
@@ -230,10 +235,9 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
             dense_mode=cfg.dense_mode,
             mg_preconditioner=mg_pre,
             elastic_factor=(
-                _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
-                if cfg.solver == "dense"
-                else None
+                _elastic_factor(cho, dtype) if cfg.solver == "dense" else None
             ),
+            accumulate_ep=not cfg.bug_compatible_ep_reset,
         )
         return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
 
@@ -243,6 +247,134 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         ep=res.ep,
         zeta_hist=res.zeta_hist,
         displ_hist=res.monitor_hist,
+        n_steps=int(res.n_steps),
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )
+
+
+def build_df32(cfg: TsxTunnelConfig):
+    """Build the jitted df32 tsx solver: returns (run, args, mesh).
+
+    `run(args)` executes the full load-stepped solve on device;
+    `_solve_df32` wraps it into a TsxResult (bench.py times `run` raw).
+    """
+    import jax
+
+    from ..ops import assembly as asm
+    from ..ops import assembly_df as adf
+    from ..ops.df32 import DF, df_const
+    from ..ops.elements import volume_element
+    from ..solve.newton import NewtonSettings, build_load_stepper
+    from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
+
+    assert cfg.solver == "dense", "df32 fast path uses the dense solver"
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial_state(cfg)
+
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+
+    gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+    n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
+    monitor_dof = 2 * cfg.monitor_node
+    f32 = jnp.float32
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+    )
+
+    s0_hi, s0_lo = adf.split_f64_np(s0)
+    e0_hi, e0_lo = adf.split_f64_np(e0)
+    # every array enters through the jit boundary as an argument (axon
+    # constant pathology, ops/assembly.py docstring)
+    args = dict(
+        B_hi=gdf.hi.B, w_hi=gdf.hi.weight,
+        edofs=gdf.hi.edofs, edofs_t=gdf.hi.edofs_t,
+        B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap,
+        fmap=fmap, free_idx=free_idx,
+        s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
+        e0_hi=jnp.asarray(e0_hi), e0_lo=jnp.asarray(e0_lo),
+        # runtime zeros for ops.df32.df_pin (df32.py hazard note)
+        pinz=jnp.zeros(
+            (max(4 * gdf.hi.n_int, 2 * n_nodes),), jnp.float32
+        ),
+    )
+
+    @jax.jit
+    def run(a):
+        g = adf.GeometryDF(
+            hi=asm.Geometry(
+                B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
+                edofs_t=a["edofs_t"], n_nodes=n_nodes, n_q=n_q, n_real=n_real,
+            ),
+            B_lo=a["B_lo"], w_lo=a["w_lo"], gmap=a["gmap"],
+        )
+        n_int = g.hi.n_int
+
+        # initial-stress force F0 = B^T (w * s0[:3]) in double-float (T:1737)
+        bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
+        f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+
+        # elastic predictor (T:1748): K u = -F0, f32 Cholesky + df32 IR
+        D = elastic_tangent_lanes(shear, bulk, n_int, f32)
+        ke = asm.element_stiffness(g.hi, D)
+        K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
+        cho = jax.scipy.linalg.cho_factor(K_free)
+        zero_u = DF(
+            jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
+        )
+        u_elast = adf.refine_elastic_solve_df(
+            g, cho, a["free_idx"], zero_u, DF(-f0.hi, -f0.lo), shear, bulk
+        )
+
+        d_zeta = df_const(cfg.d_zeta)
+        from ..ops.df32 import df_barrier, df_mul
+
+        stepper = build_load_stepper(
+            g, a["free_idx"], a["fmap"], n_free, shear, bulk, eta, c,
+            settings,
+            e0_dir=DF(a["e0_hi"], a["e0_lo"]),
+            monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
+            solver="dense",
+            elastic_factor=cho,
+            precision="df32",
+            pin_zeros=a["pinz"],
+            accumulate_ep=not cfg.bug_compatible_ep_reset,
+        )
+        return stepper(df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta)
+
+    return run, args, mesh
+
+
+def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
+    """Double-float fast path: f32 hardware, f64-grade trajectory/accuracy.
+
+    State (U, Ep, zeta) and the Newton residual pipeline are two-f32 pairs
+    (`ops/assembly_df.py`, `models/materials_df.py`); tangent solves are
+    f32 Cholesky with elastic-factor reuse.  Returns f64 results assembled
+    on the host from the hi/lo pairs — no f64 op ever enters the TPU
+    program (the axon runtime degrades on in-loop f64; BENCH_NOTES.md).
+    """
+    run, args, mesh = build_df32(cfg)
+    res = run(args)
+    f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    return TsxResult(
+        u=f64(res.u).reshape(-1, 2),
+        ep=f64(res.ep),
+        zeta_hist=np.asarray(res.zeta_hist, np.float64),
+        displ_hist=f64(res.monitor_hist),
         n_steps=int(res.n_steps),
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),

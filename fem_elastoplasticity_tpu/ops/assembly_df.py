@@ -1,0 +1,261 @@
+"""Double-float (two-f32) residual assembly — the fast-path accuracy core.
+
+The TPU fast path runs every hot op in f32/Pallas hardware, but the
+reference's Newton stopping criteria (1e-12 inner / 1e-10 accept,
+`tsx-tunnel/pythonFEM.py:1801-1804`) and the <=1e-10 displacement-accuracy
+bar are unreachable in plain f32: at convergence the internal force is a
+~1e-13-relative cancellation of O(1) element contributions.  This module
+evaluates exactly that residual pipeline — strain gather, constitutive
+stress, B^T(w s) nodal accumulation — in double-float arithmetic
+(`ops/df32.py`): every value is an unevaluated f32 pair `hi + lo` with
+~48-bit effective mantissa, and every reduction is a chain of error-free
+`df_add` transforms, so cancellation is captured instead of rounded away.
+
+Key design point: the nodal accumulation cannot use `segment_sum` (there is
+no compensated segmented reduction); instead a **padded gather map** is
+precomputed on the host — for each DOF, the fixed list of per-element force
+slots that touch it — and the reduction is an unrolled `df_add` chain over
+that static axis.  This is also scatter-free, which TPUs like.
+
+Geometry (B blocks, quadrature weights) is computed once on the host in
+f64 and split exactly into hi/lo pairs, so the residual's backward error is
+~1e-14 relative end-to-end.  The f32 `hi` geometry doubles as the plain
+`Geometry` used by the (inexact-Newton) f32 tangent/criterion path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import Geometry, compute_geometry
+from .df32 import DF, df_add, df_barrier, df_const, df_mul
+from .elements import ReferenceElement
+
+
+class GeometryDF(NamedTuple):
+    """f64-accurate geometry as (f32 Geometry, lo-corrections, gather map).
+
+    hi:    plain f32 `Geometry` (the exactly-rounded heads) — reused by the
+           f32 tangent assembly and criterion matvecs.
+    B_lo:  (3, 2*n_p, n_int) f32 tails of the f64 B blocks.
+    w_lo:  (n_int,) f32 tails of the f64 quadrature weights.
+    gmap:  (2*n_n, K) int32 — for each DOF, flat indices into the
+           (2*n_p, n_e) per-element force array of all slots accumulating
+           into it; padded with the index of an appended zero slot.
+    """
+
+    hi: Geometry
+    B_lo: jnp.ndarray
+    w_lo: jnp.ndarray
+    gmap: jnp.ndarray
+
+
+def split_f64_np(x) -> tuple:
+    """Host-side exact f64 -> (hi, lo) f32 split (numpy arrays)."""
+    x64 = np.asarray(x, np.float64)
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def dof_gather_map(
+    edofs_t: np.ndarray, n_real: int, n_dofs: int
+) -> np.ndarray:
+    """Padded per-DOF gather lists over the (2*n_p, n_e) force-slot array.
+
+    Only the first `n_real` (non-padding) elements contribute — padding
+    elements carry exactly-zero B and weight, so skipping them loses
+    nothing and keeps the pad rows pointing at the zero slot.
+    """
+    np2, n_e = edofs_t.shape
+    ks, es = np.meshgrid(
+        np.arange(np2), np.arange(n_real), indexing="ij"
+    )
+    pos = (ks * n_e + es).reshape(-1)
+    dofs = np.asarray(edofs_t)[:, :n_real].reshape(-1)
+    order = np.argsort(dofs, kind="stable")
+    dofs_s, pos_s = dofs[order], pos[order]
+    counts = np.bincount(dofs_s, minlength=n_dofs)
+    k_max = int(counts.max())
+    gmap = np.full((n_dofs, k_max), np2 * n_e, dtype=np.int32)  # zero slot
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(dofs_s.size) - starts[dofs_s]
+    gmap[dofs_s, within] = pos_s
+    return gmap
+
+
+def geometry_df(
+    coords: np.ndarray, elems: np.ndarray, ref: ReferenceElement
+) -> GeometryDF:
+    """Host-side setup: f64 geometry on CPU, split into df32 pairs.
+
+    Runs `compute_geometry` once on the CPU backend in float64 (the mesh is
+    static), then splits B and weight exactly: hi = f32(x), lo = f32(x - hi).
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        g64 = compute_geometry(
+            jnp.asarray(np.asarray(coords, np.float64)),
+            jnp.asarray(elems),
+            ref,
+        )
+        B64 = np.asarray(g64.B, np.float64)
+        w64 = np.asarray(g64.weight, np.float64)
+    B_hi = B64.astype(np.float32)
+    B_lo = (B64 - B_hi.astype(np.float64)).astype(np.float32)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    edofs = np.asarray(g64.edofs, np.int32)
+    hi = Geometry(
+        B=jnp.asarray(B_hi),
+        weight=jnp.asarray(w_hi),
+        edofs=jnp.asarray(edofs),
+        edofs_t=jnp.asarray(edofs.T),
+        n_nodes=g64.n_nodes,
+        n_q=g64.n_q,
+        n_real=g64.n_real,
+    )
+    gmap = dof_gather_map(edofs.T, g64.n_real, 2 * g64.n_nodes)
+    return GeometryDF(
+        hi=hi,
+        B_lo=jnp.asarray(B_lo),
+        w_lo=jnp.asarray(w_lo),
+        gmap=jnp.asarray(gmap),
+    )
+
+
+def _dof_values_df(g: GeometryDF, u: DF):
+    hi = g.hi
+    ue = DF(u.hi[hi.edofs_t], u.lo[hi.edofs_t])  # (2*n_p, n_e)
+    if hi.n_q == 1:
+        return ue
+    shape = (hi.n_p2, hi.n_elems, hi.n_q)
+    bcast = lambda x: jnp.broadcast_to(x[:, :, None], shape).reshape(
+        hi.n_p2, -1
+    )
+    return DF(bcast(ue.hi), bcast(ue.lo))
+
+
+def strains_df(g: GeometryDF, u: DF) -> DF:
+    """Total strain (3, n_int) in double-float: e = B u, compensated.
+
+    Parity: `ops.assembly.strains` / reference `E = B @ U`
+    (`tsx-tunnel/pythonFEM.py:1771`), at ~1e-14 relative accuracy.
+    """
+    ue = _dof_values_df(g, u)
+    rows = []
+    for a in range(3):
+        acc = None
+        for p in range(g.hi.n_p2):
+            term = df_mul(
+                DF(g.hi.B[a, p], g.B_lo[a, p]), DF(ue.hi[p], ue.lo[p])
+            )
+            acc = term if acc is None else df_add(acc, term)
+        rows.append(acc)
+    return df_barrier(
+        DF(
+            jnp.stack([r.hi for r in rows], axis=0),
+            jnp.stack([r.lo for r in rows], axis=0),
+        )
+    )
+
+
+def internal_force_df(g: GeometryDF, s3: DF) -> DF:
+    """F = B^T (weight * s) in double-float, gather-accumulated — (2*n_n,).
+
+    The per-slot products are exact df32 multiplies; the quadrature and
+    nodal reductions are `df_add` chains over static axes (the padded
+    gather map), so the ~1e-13-relative cancellation at Newton convergence
+    survives.  Parity: `ops.assembly.internal_force`
+    (`tsx-tunnel/pythonFEM.py:1778`).
+    """
+    hi = g.hi
+    w = DF(hi.weight, g.w_lo)
+    fk = []
+    for k in range(hi.n_p2):
+        acc = None
+        for a in range(3):
+            ws = df_mul(w, DF(s3.hi[a], s3.lo[a]))
+            term = df_mul(DF(hi.B[a, k], g.B_lo[a, k]), ws)
+            acc = term if acc is None else df_add(acc, term)
+        fk.append(acc)
+    fk_hi = jnp.stack([f.hi for f in fk], axis=0)  # (2*n_p, n_int)
+    fk_lo = jnp.stack([f.lo for f in fk], axis=0)
+    if hi.n_q > 1:
+        fk_hi = fk_hi.reshape(hi.n_p2, hi.n_elems, hi.n_q)
+        fk_lo = fk_lo.reshape(hi.n_p2, hi.n_elems, hi.n_q)
+        acc = DF(fk_hi[..., 0], fk_lo[..., 0])
+        for q in range(1, hi.n_q):
+            acc = df_add(acc, DF(fk_hi[..., q], fk_lo[..., q]))
+        fk_hi, fk_lo = acc.hi, acc.lo
+    zero = jnp.zeros((1,), fk_hi.dtype)
+    flat_hi = jnp.concatenate([fk_hi.reshape(-1), zero])
+    flat_lo = jnp.concatenate([fk_lo.reshape(-1), zero])
+    gm = g.gmap
+    acc = DF(flat_hi[gm[:, 0]], flat_lo[gm[:, 0]])
+    for k in range(1, gm.shape[1]):
+        acc = df_add(acc, DF(flat_hi[gm[:, k]], flat_lo[gm[:, k]]))
+    return df_barrier(acc)
+
+
+def elastic_stress_df(e: DF, shear: float, bulk: float) -> DF:
+    """Plane-strain elastic stress (3, n) in double-float.
+
+    s = 2G dev3(e) + K tr(e) iota3, component-wise (cf.
+    `solve.newton.elastic_stress`).
+    """
+    like = e.hi[0]
+    tr = df_add(DF(e.hi[0], e.lo[0]), DF(e.hi[1], e.lo[1]))
+    third = df_mul(tr, df_const(1.0 / 3.0, like=like))
+    two_g = df_const(2.0 * shear, like=like)
+    k_ = df_const(bulk, like=like)
+    ktr = df_mul(k_, tr)
+
+    def comp(i):
+        dev = df_add(DF(e.hi[i], e.lo[i]), DF(-third.hi, -third.lo))
+        return df_add(df_mul(two_g, dev), ktr)
+
+    c0, c1 = comp(0), comp(1)
+    c2 = df_mul(df_const(shear, like=like), DF(e.hi[2], e.lo[2]))
+    return DF(
+        jnp.stack([c0.hi, c1.hi, c2.hi], axis=0),
+        jnp.stack([c0.lo, c1.lo, c2.lo], axis=0),
+    )
+
+
+def elastic_apply_df(g: GeometryDF, u: DF, shear: float, bulk: float) -> DF:
+    """K_elast u in double-float (setup-time iterative refinement helper)."""
+    return internal_force_df(g, elastic_stress_df(strains_df(g, u), shear, bulk))
+
+
+def refine_elastic_solve_df(
+    g: GeometryDF,
+    cho,
+    free_idx: jnp.ndarray,
+    u0: DF,
+    f_ext: DF,
+    shear: float,
+    bulk: float,
+    iters: int = 4,
+) -> DF:
+    """df32-accurate elastic solve: K u = f_ext on free DOFs, u = u0 elsewhere.
+
+    f32 Cholesky + iterative refinement with the double-float residual.
+    Each pass gains ~cond*eps32 (~1e-4 on these benchmarks), so 4 passes
+    reach the ~1e-14 df32 floor — giving the load stepper a predictor whose
+    first Newton step converges in one iteration, matching the reference's
+    f64 trajectory (`tsx-tunnel/pythonFEM.py:1748`).
+    """
+    import jax
+
+    u = u0
+    zeros = jnp.zeros_like(u0.hi)
+    for _ in range(iters):
+        r = df_add(f_ext, DF(*map(jnp.negative, elastic_apply_df(g, u, shear, bulk))))
+        du_free = jax.scipy.linalg.cho_solve(cho, r.hi[free_idx])
+        du = zeros.at[free_idx].set(du_free)
+        u = df_add(u, DF(du, jnp.zeros_like(du)))
+    return u

@@ -18,14 +18,26 @@ IMPORTANT: error-free transforms are destroyed by FMA contraction or
 reassociation.  XLA does not contract a*b+c written as separate jnp ops,
 and `jax_default_matmul_precision=highest` covers dots; keep these
 functions free of `jnp.dot`.
+
+MEASURED HAZARD (this repo, 2026-08): when a *long* df32 producer->consumer
+chain (strain -> return map -> force, ~1000 fused elementwise ops) compiles
+as one XLA fusion, the compiled result loses the compensation entirely
+(residual floor 1e-13 -> 1e-6 on CPU; each stage jitted alone is exact, and
+a single `optimization_barrier` at any stage boundary restores exactness).
+Policy: every df32 *stage* function (`ops/assembly_df.py`,
+`models/materials_df.py`) passes its DF outputs through `df_barrier`, so
+composition can never re-create the mega-fusion.  Guarded by
+`tests/test_df32.py` end-to-end residual-floor tests under jit.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
-_SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting
+_SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting (kept for reference)
+_HEAD_MASK = 0xFFFFF000  # zero the low 12 mantissa bits -> 12-bit head
 
 
 class DF(NamedTuple):
@@ -45,8 +57,60 @@ def df(x) -> DF:
     return DF(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32))
 
 
+def _opaque(hi, lo) -> DF:
+    """DF constant made opaque to XLA.
+
+    XLA's algebraic simplifier reassociates float expressions WHEN CONSTANT
+    OPERANDS ARE INVOLVED (e.g. `(a + c) - a -> c`) — precisely the rewrite
+    that deletes a `two_sum` compensation term.  Measured in this repo: any
+    df32 chain touching a literal (material constants, closure-captured
+    scalars) silently loses its compensation inside large fusions, while
+    all-variable chains stay exact.  Hiding the literal behind an
+    `optimization_barrier` removes the 'constant operand' precondition, so
+    the simplifier leaves the EFT alone.  Costs nothing (scalar barrier,
+    once per program).
+    """
+    hi, lo = jax.lax.optimization_barrier((jnp.asarray(hi), jnp.asarray(lo)))
+    return DF(hi, lo)
+
+
 def to_f64(a: DF) -> jnp.ndarray:
     return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+def df_barrier(a: DF) -> DF:
+    """Make a DF value opaque to XLA fusion/simplification.
+
+    See the module-docstring hazard note: stage outputs must be barriered
+    or a fused mega-chain silently drops the compensation terms.
+
+    CAVEAT (measured): XLA:CPU strips optimization barriers during its
+    pipeline (12 before optimization -> 0 after), so on that backend this
+    does NOT reliably protect EFTs — `df_pin` with a runtime-zeros
+    argument is the load-bearing guard; this barrier remains as free
+    insurance for backends that honor it (TPU).
+    """
+    hi, lo = jax.lax.optimization_barrier((a.hi, a.lo))
+    return DF(hi, lo)
+
+
+def df_pin(a: DF, z: Optional[jnp.ndarray]) -> DF:
+    """Pin a DF value with a *runtime* zeros array (a real jit argument).
+
+    Adding an argument whose values the compiler cannot know blocks every
+    algebraic rewrite involving the pinned value — the only guard measured
+    to survive the XLA:CPU pipeline (optimization barriers are stripped,
+    `0.0 * runtime_array` is folded, bitcast round-trips are canonicalized
+    away).  `z` MUST be a traced argument that is all zeros at runtime and
+    at least `a.hi.size` long; pass None to skip (no-op).
+    """
+    if z is None:
+        return a
+    if a.hi.ndim == 0:
+        zz = z[0]
+    else:
+        zz = z[: a.hi.size].reshape(a.hi.shape)
+    return DF(a.hi + zz, a.lo + zz)
 
 
 def two_sum(a, b):
@@ -65,9 +129,23 @@ def fast_two_sum(a, b):
 
 
 def split(a):
-    """Dekker split: a = x + y with 12-bit halves (f32)."""
-    c = _SPLITTER * a
-    x = c - (c - a)
+    """Exact split a = x + y with 12-bit halves (f32) via mantissa masking.
+
+    Dekker's multiplicative split (`c = 4097*a; x = c - (c - a)`) is
+    destroyed by LLVM fp-contraction when XLA:CPU vectorizes a large fused
+    loop: `c - a` contracts to `fma(4097, a, -a)`, skipping the rounding
+    the split depends on (measured in this repo: f32-level error appears
+    in wide df32 fusions, single-lane and eager stay exact, and
+    `--xla_cpu_enable_fast_math=false` does NOT prevent it).  Masking the
+    low 12 mantissa bits is a pure integer operation no FP rewrite can
+    touch: x = top 12 bits of the mantissa (plus sign/exponent), y = a - x
+    is exact with <= 12 significant bits, so all Dekker partial products
+    in `two_prod` stay exact.
+    """
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    x = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(_HEAD_MASK), jnp.float32
+    )
     y = a - x
     return x, y
 
@@ -110,9 +188,9 @@ def df_const(c: float, like=None) -> DF:
     hi = np.float32(c)
     lo = np.float32(float(c) - float(hi))
     if like is None:
-        return DF(jnp.float32(hi), jnp.float32(lo))
+        return _opaque(hi, lo)
     z = 0 * like
-    return DF(z + jnp.float32(hi), z + jnp.float32(lo))
+    return _opaque(z + jnp.float32(hi), z + jnp.float32(lo))
 
 
 def df_scale(a: DF, c: float) -> DF:

@@ -122,7 +122,7 @@ def solve_tsx_ensemble(
         from ..models.tsx_tunnel import _elastic_factor
 
         ef = (
-            _elastic_factor(K_free, cho, cfg.dense_mode, dtype)
+            _elastic_factor(cho, dtype)
             if solver == "dense"
             else None
         )

@@ -28,6 +28,7 @@ class CGResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray
     residual: jnp.ndarray
+    converged: jnp.ndarray  # bool: residual met the tolerance within maxiter
 
 
 def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
@@ -83,8 +84,15 @@ def solve_cg(
       matvec: full-space operator v -> K v (symmetric on the free subspace).
       b:      (n_dofs,) right-hand side.
       free:   (n_n, 2) or (n_dofs,) boolean mask of unknowns.
-      x0:     initial guess (full-space); constrained part is preserved.
+      x0:     initial guess; its constrained part is zeroed (the returned x
+              is zero on constrained DOFs — callers add Dirichlet lifts
+              themselves, as the reference does via `ud`, E:1141-1147).
       tol:    relative residual tolerance (on the preconditioned norm).
+
+    Non-convergence is not silent: `CGResult.converged` is False when the
+    iteration cap was hit before the tolerance; `solve.newton` treats that
+    like Newton divergence (step halving), so a capped solve can never
+    pollute a trajectory undetected.
     """
     fmask = jnp.asarray(free).reshape(-1)
     proj = lambda v: jnp.where(fmask, v, 0.0)
@@ -118,4 +126,5 @@ def solve_cg(
 
     state = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
     x, r, _, _, gamma, k = jax.lax.while_loop(cond, body, state)
-    return CGResult(x=x, iters=k, residual=jnp.sqrt(jnp.abs(gamma)))
+    res = jnp.sqrt(jnp.abs(gamma))
+    return CGResult(x=x, iters=k, residual=res, converged=res <= limit)

@@ -9,7 +9,8 @@ arrays updated in place — zero host round-trips per solve.
 
 The adaptive controller is observable behavior and is reproduced exactly:
   * accept a step when the energy-norm criterion < accept_tol (1e-10),
-  * halve d_zeta on divergence (NaN criterion counts as divergence),
+  * halve d_zeta on divergence (NaN criterion counts as divergence; so does
+    a capped, non-converged CG solve — never silent),
   * problem hook may double d_zeta (footing pressure rule),
   * stop when zeta_old >= zeta_max or d_zeta < d_zeta_min,
   * warm start U_it = d_zeta*(U - U_old)/d_zeta_old + U between trips.
@@ -18,10 +19,19 @@ Newton semantics parity (P:1040-1087): the iterate is updated *before* the
 tolerance test; a NaN criterion aborts without updating; the criterion is
 q1/(q2+q3) with q_i energy norms in the **elastic** stiffness, evaluated
 matrix-free here.
+
+Precision modes:
+  * "native" — all state and ops in `geom`'s dtype (f64 parity / f32 fast).
+  * "df32"   — the TPU speed-of-light mode: state (U, Ep, zeta) and the
+    Newton residual pipeline are double-float (two-f32 pairs,
+    `ops/assembly_df.py` + `models/materials_df.py`, ~1e-14 relative),
+    while tangent assembly, linear solves and criterion matvecs stay pure
+    f32 (inexact Newton — tangent error only slows convergence, never the
+    limit).  This restores the reference's f64 stopping behavior
+    (1e-12/1e-10, `tsx-tunnel/pythonFEM.py:1801-1804`) on f32 hardware.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -29,6 +39,17 @@ import jax.numpy as jnp
 
 from ..models.materials import dp_return_map_lanes
 from ..ops import assembly as asm
+from ..ops.df32 import (
+    DF,
+    df,
+    df_add,
+    df_barrier,
+    df_const,
+    df_div,
+    df_mul,
+    df_pin,
+    df_sub,
+)
 from .cg import block_jacobi_preconditioner, solve_cg
 
 
@@ -63,14 +84,19 @@ def _spd_solve_mixed(K, b, ir_iters: int = 3):
     return x
 
 
+def _wsel(cond, a, b):
+    """Elementwise select over matching pytrees (arrays or DF pairs)."""
+    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
 class LoadSteppingResult(NamedTuple):
-    u: jnp.ndarray  # (2*n_n,) converged displacement
-    ep: jnp.ndarray  # (n_int, 4) plastic strain
+    u: jnp.ndarray  # (2*n_n,) converged displacement (DF pair in df32 mode)
+    ep: jnp.ndarray  # (4, n_int) plastic strain (DF pair in df32 mode)
     zeta_hist: jnp.ndarray  # (max_steps,)
-    monitor_hist: jnp.ndarray  # (max_steps,)
+    monitor_hist: jnp.ndarray  # (max_steps,) (DF pair in df32 mode)
     n_steps: jnp.ndarray  # accepted steps
     n_newton_total: jnp.ndarray  # total inner iterations
-    zeta: jnp.ndarray  # final accepted load factor
+    zeta: jnp.ndarray  # final accepted load factor (DF in df32 mode)
     d_zeta: jnp.ndarray
     n_plastic: jnp.ndarray  # integration points with nonzero plastic strain
     # carry tail for exact checkpoint/resume (utils.checkpoint)
@@ -92,7 +118,7 @@ class NewtonSettings(NamedTuple):
 
 
 def build_load_stepper(
-    geom: asm.Geometry,
+    geom,
     free_idx: jnp.ndarray,
     fmap: jnp.ndarray,
     n_free: int,
@@ -101,7 +127,7 @@ def build_load_stepper(
     eta: float,
     c: float,
     settings: NewtonSettings,
-    e0_dir: Optional[jnp.ndarray] = None,
+    e0_dir=None,
     monitor: Optional[Callable] = None,
     accept_hook: Optional[Callable] = None,
     solver: str = "dense",
@@ -113,25 +139,31 @@ def build_load_stepper(
     use_pallas: Optional[bool] = None,
     mg_preconditioner: Optional[Callable] = None,
     elastic_factor=None,
+    precision: str = "native",
+    pin_zeros=None,
+    accumulate_ep: bool = True,
 ):
     """Build the jittable load-stepping driver.
 
     Args:
-      geom:       precomputed assembly geometry.
+      geom:       precomputed assembly geometry (`ops.assembly.Geometry`;
+                  in precision="df32", an `ops.assembly_df.GeometryDF`).
       free_idx:   (n_free,) indices of free DOFs in the flat DOF vector.
       fmap:       (2*n_n,) free-DOF map for dense assembly (dense solver).
       e0_dir:     (4,) initial-strain direction; the return map sees
                   e0 = zeta * e0_dir (tsx excavation).  None -> no e0.
-      monitor:    (u_flat, s) -> scalar recorded per accepted step.
+                  A DF pair in df32 mode.
+      monitor:    (u_flat, s) -> scalar recorded per accepted step (df32
+                  mode: u and s arrive as DF pairs, return a DF scalar).
       accept_hook:(monitor_value, aux, criterion) -> (aux', dzeta_factor);
                   default keeps d_zeta (tsx).  Footing doubles it when the
-                  pressure increment is small (P:1109-1110).
-      elastic_factor: prefactored elastic stiffness for the dense solver
-                  (the cho_factor pair for plain Cholesky, or
-                  (cho32, jacobi_scale) for dense_mode="mixed").  When no
-                  integration point is plastic the tangent equals the
-                  elastic stiffness bitwise, so the factorization is
-                  skipped via lax.cond — the trajectory is unchanged.
+                  pressure increment is small (P:1109-1110).  The monitor
+                  value arrives as a plain scalar (the DF head in df32).
+      elastic_factor: prefactored elastic stiffness (cho_factor pair) for
+                  the dense solver.  When no integration point is plastic
+                  the tangent equals the elastic stiffness bitwise, so the
+                  factorization is skipped via lax.cond — the trajectory is
+                  unchanged.
       solver:     "dense" (reference-parity direct), "cg" (matrix-free
                   block-Jacobi PCG), or "mg" (matrix-free PCG with a
                   caller-supplied geometric-multigrid V-cycle; pass
@@ -142,18 +174,57 @@ def build_load_stepper(
                   SPMD).  Nodal reductions psum over it; DOF vectors and
                   the Newton control flow are replicated, so every device
                   executes the identical adaptive schedule.
+      precision:  "native" or "df32" (see module docstring).  df32 requires
+                  solver="dense" and f32 geometry heads.
+      pin_zeros:  df32 only — a traced all-zeros f32 array (a real jit
+                  argument, length >= max(2*n_dofs, 4*n_int)) used by
+                  `ops.df32.df_pin` to protect the double-float state from
+                  the measured XLA:CPU EFT-destroying rewrites (df32.py
+                  hazard note).  Required in df32 mode.
+      accumulate_ep: accumulate plastic strain across accepted steps (the
+                  fixed semantics, default).  False reproduces the tsx
+                  reference's behavior, which never passes
+                  apply_plastic_strain=True so its Ep_old is re-zeroed
+                  every step (`tsx-tunnel/pythonFEM.py:1808-1809`) —
+                  reference defect #3-bis, PARITY.md.  Affects the plastic
+                  tail at ~1.5e-7 relative on the tsx parity mesh.
 
-    Returns run(U_it0, aux0) -> LoadSteppingResult, a jittable function.
+    Returns run(U_it0, aux0, d_zeta0) -> LoadSteppingResult, jittable.
+    In df32 mode U_it0/d_zeta0 are DF pairs and the displacement/ep/zeta/
+    monitor outputs are DF pairs (combine with `ops.df32.to_f64` on host).
     """
+    df_mode = precision == "df32"
+    if df_mode:
+        from ..models import materials_df as mdf
+        from ..ops import assembly_df as adf
+
+        assert solver == "dense", "df32 precision requires the dense solver"
+        gdf = geom
+        geom = gdf.hi
     dtype = geom.B.dtype
     n_dofs = 2 * geom.n_nodes
     free_mask = jnp.zeros((n_dofs,), bool).at[free_idx].set(True)
     # the fused Pallas constitutive kernel is f32-only (Mosaic has no f64);
     # it is the default on the f32 fast path and unavailable under f64
     if use_pallas is None:
-        use_pallas = dtype == jnp.float32
+        use_pallas = dtype == jnp.float32 and not df_mode
 
     def return_map(u_flat, ep, zeta, apply=False):
+        """-> (s, ds_f32, ind_p, lam, ep'); s/ep are DF pairs in df32 mode."""
+        if df_mode:
+            e = adf.strains_df(gdf, u_flat)
+            # df glue chains are pinned like stage outputs (df32.py
+            # hazard note): fused into a consumer they lose compensation
+            e0 = (
+                None
+                if e0_dir is None
+                else df_pin(df_barrier(df_mul(e0_dir, zeta)), pin_zeros)
+            )
+            return mdf.dp_return_map_lanes_df(
+                e, ep, shear, bulk, eta, c, e0=e0,
+                apply_plastic_strain=apply,
+                apex_ep_uses_trial=apex_ep_uses_trial,
+            )
         e = asm.strains(geom, u_flat)  # (3, n_int) lane-major
         e0 = None if e0_dir is None else zeta * e0_dir
         if use_pallas:
@@ -169,6 +240,13 @@ def build_load_stepper(
             e, ep, shear, bulk, eta, c, e0=e0, apply_plastic_strain=apply,
             apex_ep_uses_trial=apex_ep_uses_trial,
         )
+
+    def residual_force(s):
+        """Internal force from the return-map stress; plain array always."""
+        if df_mode:
+            f = adf.internal_force_df(gdf, DF(s.hi[:3], s.lo[:3]))
+            return f.hi
+        return asm.internal_force(geom, s[:3], axis_name=axis_name)
 
     def elastic_stress(e):
         # s = 2G dev3(e) + K tr(e) iota3, written component-wise (lane-major)
@@ -201,7 +279,9 @@ def build_load_stepper(
     def newton_solve(d, f_int, dU_prev, any_plastic):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
-        d: (3, 3, n_int) consistent tangent."""
+        d: (3, 3, n_int) consistent tangent.  Returns (dU, ok) — ok is
+        False when an iterative solve hit its cap without converging
+        (treated as divergence by the caller, like the NaN guard)."""
         if solver == "dense":
             ke = asm.element_stiffness(geom, d)
             K_free = asm.assemble_dense_free(ke, geom, fmap, n_free)
@@ -223,27 +303,12 @@ def build_load_stepper(
             else:
                 # elastic iterations: K_free == K_elast bitwise -> reuse
                 # the prefactored elastic Cholesky (skips the O(n^3) factor)
-                if mixed:
-                    cho32, dscale = elastic_factor
-
-                    def reuse():
-                        def apply_inv(r):
-                            y = jax.scipy.linalg.cho_solve(
-                                cho32, (r * dscale).astype(jnp.float32)
-                            )
-                            return y.astype(K_free.dtype) * dscale
-
-                        x = apply_inv(rhs)
-                        for _ in range(3):
-                            x = x + apply_inv(rhs - K_free @ x)
-                        return x
-
-                else:
-                    reuse = lambda: jax.scipy.linalg.cho_solve(
-                        elastic_factor, rhs
-                    )
+                reuse = lambda: jax.scipy.linalg.cho_solve(
+                    elastic_factor, rhs
+                )
                 dU_free = jax.lax.cond(any_plastic, fresh, reuse)
-            return jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
+            dU = jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
+            return dU, jnp.asarray(True)
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
         else:
@@ -258,38 +323,60 @@ def build_load_stepper(
             tol=cg_tol,
             maxiter=cg_maxiter,
         )
-        return res.x
+        return res.x, res.converged
 
     def inner_newton(U_it, ep, zeta):
-        """Semi-smooth Newton at fixed load factor."""
+        """Semi-smooth Newton at fixed load factor.
+
+        U_it (and ep) are DF pairs in df32 mode; increments and the
+        criterion stay plain f32."""
         big = jnp.asarray(jnp.inf, dtype)
+        u_head = (lambda u: u.hi) if df_mode else (lambda u: u)
 
         def cond(carry):
-            _, _, crit, it, nan = carry
-            return (~nan) & (crit >= settings.newton_tol) & (it < settings.maxit)
+            _, _, crit, it, fail = carry
+            return (~fail) & (crit >= settings.newton_tol) & (it < settings.maxit)
 
         def body(carry):
             U_it, dU_prev, _, it, _ = carry
             s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
-            f_int = asm.internal_force(geom, s_rm[:3], axis_name=axis_name)
+            f_int = residual_force(s_rm)
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
-            dU = newton_solve(ds_rm, f_int, dU_prev, any_p)
-            U_new = U_it + dU
-            q1, q2, q3 = criterion_norms(dU, U_it)
+            dU, ok = newton_solve(ds_rm, f_int, dU_prev, any_p)
+            U_new = (
+                df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
+                if df_mode
+                else U_it + dU
+            )
+            q1, q2, q3 = criterion_norms(dU, u_head(U_it))
             crit = q1 / (q2 + q3)
-            nan = jnp.isnan(crit)
-            U_next = jnp.where(nan, U_it, U_new)
-            return (U_next, dU, crit, it + 1, nan)
+            fail = jnp.isnan(crit) | ~ok
+            import os
 
-        U, _, crit, nits, nan = jax.lax.while_loop(
-            cond, body, (U_it, jnp.zeros_like(U_it), big, jnp.asarray(0), jnp.asarray(False))
+            if os.environ.get("FEM_TPU_DEBUG_NEWTON"):
+                jax.debug.print(
+                    "it={it} crit={crit} q1={q1} np={np} dumax={d}",
+                    it=it, crit=crit, q1=q1, np=ind_p.sum(),
+                    d=jnp.abs(dU).max(),
+                )
+            U_next = _wsel(fail, U_it, U_new)
+            return (U_next, dU, crit, it + 1, fail)
+
+        U, _, crit, nits, fail = jax.lax.while_loop(
+            cond,
+            body,
+            (U_it, jnp.zeros((n_dofs,), dtype), big, jnp.asarray(0), jnp.asarray(False)),
         )
-        crit = jnp.where(nan, jnp.asarray(jnp.nan, dtype), crit)
+        crit = jnp.where(fail, jnp.asarray(jnp.nan, dtype), crit)
         return U, crit, nits
 
-    mon = monitor if monitor is not None else (lambda u, s: jnp.asarray(0.0, dtype))
+    if monitor is None:
+        monitor = (
+            (lambda u, s: df_const(0.0)) if df_mode
+            else (lambda u, s: jnp.asarray(0.0, dtype))
+        )
     hook = accept_hook if accept_hook is not None else (
         lambda m, aux, crit: (aux, jnp.asarray(1.0, dtype))
     )
@@ -301,6 +388,7 @@ def build_load_stepper(
         (`u, u_old, u_it, ep, zeta_old, d_zeta, d_zeta_old, step, aux,
         zeta_hist, monitor_hist, nits_total`) to restart from a
         checkpoint (`utils.checkpoint`); missing keys use fresh values.
+        Native precision only.
         """
         zeros_h = jnp.zeros((settings.max_steps,), dtype)
 
@@ -321,23 +409,46 @@ def build_load_stepper(
             done: jnp.ndarray
 
         n_int = geom.n_int
-        c0 = C(
-            U=jnp.zeros_like(U_it0),
-            U_old=-U_it0,
-            U_it=U_it0,
-            ep=jnp.zeros((4, n_int), dtype),
-            zeta_old=jnp.asarray(0.0, dtype),
-            d_zeta=jnp.asarray(d_zeta0, dtype),
-            d_zeta_old=jnp.asarray(d_zeta0, dtype),
-            step=jnp.asarray(settings.step0),
-            aux=jnp.asarray(aux0, dtype),
-            zeta_hist=zeros_h,
-            mon_hist=zeros_h,
-            nits_total=jnp.asarray(0),
-            trips=jnp.asarray(0),
-            done=jnp.asarray(False),
-        )
+        if df_mode:
+            assert pin_zeros is not None, "df32 mode requires pin_zeros"
+            U_it0 = df_pin(U_it0, pin_zeros)
+            zero_u = DF(jnp.zeros((n_dofs,), dtype), jnp.zeros((n_dofs,), dtype))
+            d_zeta0 = d_zeta0 if isinstance(d_zeta0, DF) else df_const(float(d_zeta0))
+            c0 = C(
+                U=zero_u,
+                U_old=DF(-U_it0.hi, -U_it0.lo),
+                U_it=U_it0,
+                ep=DF(jnp.zeros((4, n_int), dtype), jnp.zeros((4, n_int), dtype)),
+                zeta_old=df_const(0.0),
+                d_zeta=d_zeta0,
+                d_zeta_old=d_zeta0,
+                step=jnp.asarray(settings.step0),
+                aux=jnp.asarray(aux0, dtype),
+                zeta_hist=zeros_h,
+                mon_hist=DF(zeros_h, zeros_h),
+                nits_total=jnp.asarray(0),
+                trips=jnp.asarray(0),
+                done=jnp.asarray(False),
+            )
+        else:
+            c0 = C(
+                U=jnp.zeros_like(U_it0),
+                U_old=-U_it0,
+                U_it=U_it0,
+                ep=jnp.zeros((4, n_int), dtype),
+                zeta_old=jnp.asarray(0.0, dtype),
+                d_zeta=jnp.asarray(d_zeta0, dtype),
+                d_zeta_old=jnp.asarray(d_zeta0, dtype),
+                step=jnp.asarray(settings.step0),
+                aux=jnp.asarray(aux0, dtype),
+                zeta_hist=zeros_h,
+                mon_hist=zeros_h,
+                nits_total=jnp.asarray(0),
+                trips=jnp.asarray(0),
+                done=jnp.asarray(False),
+            )
         if resume is not None:
+            assert not df_mode, "checkpoint/resume supports native precision"
             rename = {
                 "u": "U", "u_old": "U_old", "u_it": "U_it",
                 "monitor_hist": "mon_hist",
@@ -354,38 +465,62 @@ def build_load_stepper(
             return (~s.done) & (s.trips < settings.max_trips)
 
         def body(s):
-            zeta = s.zeta_old + s.d_zeta
+            zeta = (
+                df_barrier(df_add(s.zeta_old, s.d_zeta))
+                if df_mode
+                else s.zeta_old + s.d_zeta
+            )
             U_conv, crit, nits = inner_newton(s.U_it, s.ep, zeta)
             accepted = crit < settings.accept_tol  # False for NaN
 
             s_rm, _, _, _, ep_new = return_map(U_conv, s.ep, zeta, apply=True)
-            m = mon(U_conv, s_rm)
-            aux_acc, factor = hook(m, s.aux, crit)
+            m = monitor(U_conv, s_rm)
+            m_head = m.hi if df_mode else m
+            aux_acc, factor = hook(m_head, s.aux, crit)
 
-            U = jnp.where(accepted, U_conv, s.U)
-            U_old = jnp.where(accepted, s.U, s.U_old)
-            ep = jnp.where(accepted, ep_new, s.ep)
-            zeta_old = jnp.where(accepted, zeta, s.zeta_old)
-            d_zeta_old = jnp.where(accepted, s.d_zeta, s.d_zeta_old)
-            d_zeta = jnp.where(accepted, s.d_zeta * factor, s.d_zeta / 2)
+            U = _wsel(accepted, U_conv, s.U)
+            U_old = _wsel(accepted, s.U, s.U_old)
+            ep = _wsel(accepted, ep_new, s.ep) if accumulate_ep else s.ep
+            zeta_old = _wsel(accepted, zeta, s.zeta_old)
+            d_zeta_old = _wsel(accepted, s.d_zeta, s.d_zeta_old)
+            # d_zeta: hook factor on accept, halve on reject — both exact
+            # scalings, so they commute with the DF representation
+            scale = jnp.where(accepted, factor, 0.5)
+            d_zeta = (
+                DF(s.d_zeta.hi * scale, s.d_zeta.lo * scale)
+                if df_mode
+                else s.d_zeta * scale
+            )
             aux = jnp.where(accepted, aux_acc, s.aux)
 
             idx = jnp.minimum(s.step, settings.max_steps - 1)
-            zeta_hist = s.zeta_hist.at[idx].set(
-                jnp.where(accepted, zeta, s.zeta_hist[idx])
-            )
-            mon_hist = s.mon_hist.at[idx].set(
-                jnp.where(accepted, m, s.mon_hist[idx])
-            )
+            rec = lambda h, v: h.at[idx].set(jnp.where(accepted, v, h[idx]))
+            zeta_head = zeta.hi if df_mode else zeta
+            zeta_hist = rec(s.zeta_hist, zeta_head)
+            if df_mode:
+                mon_hist = DF(rec(s.mon_hist.hi, m.hi), rec(s.mon_hist.lo, m.lo))
+            else:
+                mon_hist = rec(s.mon_hist, m)
             step = s.step + accepted.astype(s.step.dtype)
 
-            U_it = d_zeta * (U - U_old) / d_zeta_old + U
-            # the 1e-12 slack absorbs cross-backend f64 rounding in the
-            # zeta accumulation (TPU's emulated f64 rounds 17*(1/17) just
-            # below 1.0, which would trigger a spurious extra load step)
-            done = (zeta_old >= settings.zeta_max - 1e-12) | (
-                d_zeta < settings.d_zeta_min
-            )
+            if df_mode:
+                ratio = df_div(d_zeta, d_zeta_old)
+                U_it = df_pin(
+                    df_barrier(df_add(df_mul(df_sub(U, U_old), ratio), U)),
+                    pin_zeros,
+                )
+                ep = df_pin(ep, pin_zeros)
+                # the 1e-12 slack absorbs cross-backend rounding in the zeta
+                # accumulation (emulated f64 / df32 both round 17*(1/17)
+                # just below 1.0 — without slack a spurious step fires)
+                done = (
+                    df_sub(zeta_old, df_const(settings.zeta_max)).hi >= -1e-12
+                ) | (d_zeta.hi < settings.d_zeta_min)
+            else:
+                U_it = d_zeta * (U - U_old) / d_zeta_old + U
+                done = (zeta_old >= settings.zeta_max - 1e-12) | (
+                    d_zeta < settings.d_zeta_min
+                )
             return C(
                 U=U, U_old=U_old, U_it=U_it, ep=ep, zeta_old=zeta_old,
                 d_zeta=d_zeta, d_zeta_old=d_zeta_old, step=step, aux=aux,
@@ -398,7 +533,8 @@ def build_load_stepper(
         # indicator at the *converged* state is numerically marginal —
         # crit1 ~ 1e-10 — and flips with compilation mode; plastic history
         # is the stable observable.)
-        n_plast = jnp.any(s.ep != 0.0, axis=0).sum()
+        ep_head = s.ep.hi if df_mode else s.ep
+        n_plast = jnp.any(ep_head != 0.0, axis=0).sum()
         if axis_name is not None:
             n_plast = jax.lax.psum(n_plast, axis_name)
         return LoadSteppingResult(

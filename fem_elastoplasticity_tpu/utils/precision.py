@@ -15,6 +15,20 @@ import os
 
 
 def enable_x64() -> None:
+    # XLA:CPU's MLIR fusion emitters miscompile compensated (double-float)
+    # arithmetic: a large fused chain of two_sum/two_prod transforms loses
+    # its compensation terms (measured in this repo: the df32 Newton
+    # residual floor degrades 1e-13 -> 1e-6; single ops and small fusions
+    # are exact; `--xla_cpu_use_fusion_emitters=false` restores exactness,
+    # no fast-math flag is involved).  The flag only affects the CPU
+    # backend (tests / virtual meshes); TPU compiles through Mosaic/XLA:TPU.
+    # Must be set before the first backend initialization.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_use_fusion_emitters" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_cpu_use_fusion_emitters=false"
+        ).strip()
+
     import jax
 
     # TPU f32 dots default to bf16 passes; FEM conditioning needs true f32

@@ -101,3 +101,69 @@ class TestDoubleFloatOps:
         term = d.df_sub(et, d.df_scale(et, 1.0 / 3.0))
         s = d.df_add(d.df_scale(term, 2 * G), d.df_scale(et, K))
         assert _rel(s, s64) < 1e-12
+
+
+class TestJitPipelineExactness:
+    """Guard against compiler rewrites destroying the error-free transforms.
+
+    Measured hazards (df32.py docstring): XLA:CPU's MLIR fusion emitters
+    miscompile large fused EFT chains (disabled via XLA_FLAGS at package
+    import), and rewrites across df stage boundaries lose compensation
+    unless the state is pinned with a runtime-zeros argument (`df_pin`).
+    This test runs the full strain -> return map -> internal force residual
+    pipeline under ONE jit at a converged state and asserts the df32 floor.
+    """
+
+    def test_residual_floor_under_jit(self):
+        import jax
+
+        from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+        from fem_elastoplasticity_tpu.models.materials import (
+            drucker_prager_fit,
+            lame_moduli,
+        )
+        from fem_elastoplasticity_tpu.models import materials_df as mdf
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            initial_state,
+            solve,
+            tsx_mesh,
+        )
+        from fem_elastoplasticity_tpu.ops import assembly as asm
+        from fem_elastoplasticity_tpu.ops import assembly_df as adf
+        from fem_elastoplasticity_tpu.ops.elements import volume_element
+
+        cfg = TsxTunnelConfig()
+        r = solve(cfg)  # f64 converged state at zeta = 1
+        mesh = tsx_mesh(cfg.etype)
+        ref = volume_element(cfg.etype)
+        shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+        eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+        _, e0 = initial_state(cfg)
+        gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+        fmap_np, n_free = asm.free_dof_map(mesh.free)
+        free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+        e0_hi, e0_lo = adf.split_f64_np(e0)
+
+        def residual(u, ep, e0z, pinz):
+            u = d.df_pin(u, pinz)
+            ep = d.df_pin(ep, pinz)
+            e = adf.strains_df(gdf, u)
+            s, _, _, _, _ = mdf.dp_return_map_lanes_df(
+                e, ep, shear, bulk, eta, c, e0=e0z
+            )
+            f = adf.internal_force_df(gdf, d.DF(s.hi[:3], s.lo[:3]))
+            return jnp.abs(f.hi[free_idx]).max()
+
+        u_df = d.df(jnp.asarray(np.asarray(r.u).reshape(-1)))
+        ep_df = d.df(jnp.asarray(np.asarray(r.ep)))
+        e0z = d.df_mul(
+            d.DF(jnp.asarray(e0_hi), jnp.asarray(e0_lo)), d.df_const(1.0)
+        )
+        pinz = jnp.zeros((4 * gdf.hi.n_int,), jnp.float32)
+
+        r_eager = float(residual(u_df, ep_df, e0z, pinz))
+        r_jit = float(jax.jit(residual)(u_df, ep_df, e0z, pinz))
+        # converged f64 state: the df32 residual must sit at its ~1e-12
+        # floor (plain f32 gives ~1e-6); jit must match eager
+        assert r_eager < 5e-12
+        assert r_jit < 5e-12

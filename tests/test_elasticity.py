@@ -16,10 +16,15 @@ from fem_elastoplasticity_tpu.ops.elements import ElementType
     [
         (ElementType.P1, 1, 2786.3472189077333),
         (ElementType.P1, 2, 2717.549266620117),
+        (ElementType.Q1, 1, 2728.399597423172),
         (ElementType.Q2, 1, 2642.1861301492227),
     ],
 )
 def test_stored_energy_anchors(etype, level, expected):
+    """P1/Q2 anchors from SURVEY.md §8.3; the Q1 anchor was measured from
+    the unmodified reference this round (`elasticity_fem(Q1, 1)` prints
+    stored energy 2728.399597423172 — reference parity for the Q1 element
+    family, `Elasticity2D/pythonFEM.py:1052`)."""
     r = solve(ElasticityConfig(etype=etype, level=level))
     assert abs(float(r.energy) - expected) / abs(expected) < 1e-10
 
@@ -45,3 +50,14 @@ def test_energy_decreases_with_refinement():
     e1 = float(solve(ElasticityConfig(etype=ElementType.P1, level=1)).energy)
     e2 = float(solve(ElasticityConfig(etype=ElementType.P1, level=2)).energy)
     assert e2 < e1
+
+
+def test_q1_refinement_monotone():
+    """Q1 end-to-end at two levels (reference accepts Q1, E:1052)."""
+    e1 = float(solve(ElasticityConfig(etype=ElementType.Q1, level=1)).energy)
+    e2 = float(solve(ElasticityConfig(etype=ElementType.Q1, level=2)).energy)
+    assert e2 < e1
+    # bracketed by the stiffer P1 and softer Q2 discretizations
+    p1 = float(solve(ElasticityConfig(etype=ElementType.P1, level=1)).energy)
+    q2 = float(solve(ElasticityConfig(etype=ElementType.Q2, level=1)).energy)
+    assert q2 < e1 < p1

@@ -72,10 +72,28 @@ class TestAnchors:
 
 
 class TestFastPath:
-    def test_fast_preset_limit_pressure(self):
-        """f32 fast path: schedule differs (f32 criterion floor) but the
-        bearing-capacity limit matches the f64 run to ~1e-4."""
+    def test_df32_fast_preset_follows_f64_schedule(self):
+        """The double-float fast preset reproduces the f64 adaptive
+        schedule (16 steps, identical zeta history) with the displacement
+        field at ~1e-11 and the pressure curve at ~1e-6 relative."""
         rf = solve(FootingConfig.fast())
+        r64 = solve(FootingConfig())
+        assert rf.n_steps == r64.n_steps == 16
+        z32 = np.asarray(rf.zeta_hist[1:17])
+        z64 = np.asarray(r64.zeta_hist[1:17])
+        np.testing.assert_allclose(z32, z64, rtol=1e-6)
+        u_rel = np.abs(rf.u - r64.u).max() / np.abs(r64.u).max()
+        assert u_rel < 1e-9
+        p_rel = (
+            np.abs(rf.pressure_hist[1:17] - r64.pressure_hist[1:17]).max()
+            / np.abs(r64.pressure_hist[1:17]).max()
+        )
+        assert p_rel < 1e-5
+
+    def test_fast_f32_preset_limit_pressure(self):
+        """Pure-f32 path: schedule differs (f32 criterion floor) but the
+        bearing-capacity limit matches the f64 run to ~1e-4."""
+        rf = solve(FootingConfig.fast_f32())
         r64 = solve(FootingConfig())
         p32 = float(rf.pressure_hist[rf.n_steps])
         p64 = float(r64.pressure_hist[16])

@@ -78,11 +78,13 @@ class TestKernelVsLanes:
 
 
 class TestFastPath:
-    def test_tsx_fast_preset(self):
+    def test_tsx_fast_f32_preset(self):
+        """Pure-f32 preset (fused Pallas kernel), tolerances at the f32
+        criterion floor; the df32 preset is covered in test_tsx_tunnel."""
         from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
         from fem_elastoplasticity_tpu.models.tsx_tunnel import solve
 
-        r = solve(TsxTunnelConfig.fast())
+        r = solve(TsxTunnelConfig.fast_f32())
         assert r.n_steps == 17
         anchor = -1.979450e-03
         assert abs(float(r.u[40, 0]) - anchor) / abs(anchor) < 1e-5

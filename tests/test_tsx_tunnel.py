@@ -42,6 +42,47 @@ class TestP1Anchors:
         assert ep_norm > 0
 
 
+class TestEpSemantics:
+    """Reference defect #3-bis (PARITY.md): the tsx reference never applies
+    the plastic-strain update, re-zeroing Ep_old every accepted step.  Both
+    semantics are pinned: the fixed default accumulates ep; the bug-compat
+    flag reproduces the instrumented reference's u40 to <2e-9."""
+
+    def test_bug_compatible_ep_reset_matches_raw_reference(self):
+        r = solve(TsxTunnelConfig(bug_compatible_ep_reset=True))
+        assert r.n_steps == 17
+        raw_reference_u40 = -1.979449671e-03  # instrumented reference run
+        val = float(r.u[40, 0])
+        assert abs(val - raw_reference_u40) / abs(raw_reference_u40) < 2e-9
+        # ep is never accumulated in this mode
+        assert float(np.abs(np.asarray(r.ep)).max()) == 0.0
+
+    def test_fixed_semantics_accumulates(self, result_p1):
+        fixed_u40 = -1.9794499636012143e-03  # this repo's f64 trajectory
+        val = float(result_p1.u[40, 0])
+        assert abs(val - fixed_u40) / abs(fixed_u40) < 1e-9
+        assert float(np.abs(np.asarray(result_p1.ep)).max()) > 0.0
+
+
+class TestDf32FastPath:
+    """The double-float fast path (solve/newton.py precision="df32")
+    reproduces the f64 parity trajectory on pure-f32 hardware ops."""
+
+    def test_trajectory_and_field_match_f64(self, result_p1):
+        r = solve(TsxTunnelConfig.fast())
+        assert r.n_steps == 17
+        assert r.n_newton_total == 28
+        assert r.n_plastic == result_p1.n_plastic
+        u_rel = (
+            np.abs(np.asarray(r.u) - np.asarray(result_p1.u)).max()
+            / np.abs(np.asarray(result_p1.u)).max()
+        )
+        assert u_rel < 1e-11
+        # monitored wall displacement at zeta=1 (T:1813)
+        a = float(result_p1.displ_hist[16])
+        assert abs(float(r.displ_hist[16]) - a) / abs(a) < 1e-10
+
+
 class TestSolverEquivalence:
     def test_cg_matches_dense(self):
         r_dense = solve(TsxTunnelConfig())
