@@ -110,6 +110,11 @@ class TsxTunnelConfig:
     # bit-level comparisons against the raw reference (u40 -1.979449671e-3
     # instead of the fixed-semantics -1.979449964e-3, ~1.5e-7 apart).
     bug_compatible_ep_reset: bool = False
+    # Tunnel support pressure (MPa), ramped with the excavation factor and
+    # applied as a normal traction on the tunnel-wall edges via the
+    # arc-length surface rules (beyond-reference: the reference's surface
+    # load hooks are commented out, `tsx-tunnel/pythonFEM.py:1705-1708`).
+    support_pressure: float = 0.0
     # "native" | "df32" (double-float fast path, solve/newton.py docstring)
     precision: str = "native"
 

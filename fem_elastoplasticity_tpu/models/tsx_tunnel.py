@@ -75,6 +75,24 @@ def tsx_mesh(
     return Mesh(coords, elems, etype, dirichlet=dirichlet, free=free)
 
 
+def tunnel_wall_edges(mesh: Mesh) -> np.ndarray:
+    """Boundary edges of the tunnel wall (the interior boundary).
+
+    All boundary edges whose endpoints are strictly inside the +-50 box —
+    i.e. the excavation ellipse (`draw_quantity` hard-codes it as
+    2.1875 x 1.75, `tsx-tunnel/pythonFEM.py:1344-1350`).  Includes the
+    higher-order edge nodes for P2/P4 meshes.
+    """
+    from ..mesh.boundary import boundary_edges
+
+    edges = boundary_edges(np.asarray(mesh.elems), mesh.etype)
+    c = np.asarray(mesh.coords)
+    inner = (np.abs(c[edges[:, 0]]) < 49.0).all(axis=1) & (
+        np.abs(c[edges[:, 1]]) < 49.0
+    ).all(axis=1)
+    return edges[inner]
+
+
 def initial_state(cfg: TsxTunnelConfig):
     """Initial stress and the derived initial strain (inverse plane-strain
     Hooke), `tsx-tunnel/pythonFEM.py:1675-1681`."""
@@ -156,6 +174,17 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     )
     n_nodes = mesh.n_nodes
 
+    if cfg.support_pressure != 0.0:
+        # tunnel support: normal traction on the wall, ramped with zeta;
+        # computed eagerly at setup (static geometry), passed as an arg
+        from ..ops.elements import surface_element
+
+        edges = tunnel_wall_edges(mesh)
+        args["f_ext"] = asm.pressure_traction_vector(
+            coords, jnp.asarray(edges), surface_element(cfg.etype),
+            jnp.asarray(cfg.support_pressure, dtype), n_nodes,
+        )
+
     if cfg.solver == "mg":
         # geometric multigrid on the refinement hierarchy (P1 only)
         assert cfg.etype == ElementType.P1, "mg solver requires P1"
@@ -187,13 +216,14 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         # initial-stress force F0 = B^T (w * s0[:3])  (T:1737)
         s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
         f0 = asm.internal_force(geom, s0_field)
+        rhs0 = -f0 + a["f_ext"] if "f_ext" in a else -f0
 
-        # elastic predictor (T:1748): K u = -F0 on free DOFs
+        # elastic predictor (T:1748): K u = -F0 (+ support traction)
         D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         ke = asm.element_stiffness(geom, D)
         K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]])
+        u_el_free = jax.scipy.linalg.cho_solve(cho, rhs0[a["free_idx"]])
         u_elast = (
             jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
         )
@@ -238,6 +268,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
                 _elastic_factor(cho, dtype) if cfg.solver == "dense" else None
             ),
             accumulate_ep=not cfg.bug_compatible_ep_reset,
+            f_ext_dir=a.get("f_ext"),
         )
         return stepper(cfg.d_zeta * u_elast, 0.0, cfg.d_zeta)
 
@@ -270,6 +301,9 @@ def build_df32(cfg: TsxTunnelConfig):
     from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
     assert cfg.solver == "dense", "df32 fast path uses the dense solver"
+    assert cfg.support_pressure == 0.0, (
+        "support pressure runs on the native path (solver='cg' or f64)"
+    )
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)

@@ -367,6 +367,41 @@ def traction_force_vector(
     )
 
 
+def pressure_traction_vector(
+    coords: jnp.ndarray,
+    edges: jnp.ndarray,
+    surf: SurfaceElement,
+    p,
+    n_nodes: int,
+) -> jnp.ndarray:
+    """Normal pressure load on (possibly curved) boundary edges — (2*n_n,).
+
+    Computes t = -p * n_out per quadrature point with the true arc-length
+    measure sqrt(j11^2 + j12^2) and the outward normal (t_y, -t_x)/|t| of
+    the owner-oriented edge (CCW elements keep the domain on the left).
+    This completes what the reference lacks: its `get_vector_traction`
+    (`Elasticity2D/pythonFEM.py:295-364`) only supports the x-projected
+    measure of axis-aligned edges, and the tsx variant's surface-load hooks
+    are commented out entirely (`tsx-tunnel/pythonFEM.py:1705-1708`).
+    Use `mesh.boundary.boundary_edges` to extract `edges` (P1/P2/P4).
+    """
+    dtype = jnp.asarray(coords).dtype
+    xe = jnp.asarray(coords)[jnp.asarray(edges)]  # (n_s, n_p_s, 2)
+    N = jnp.asarray(surf.N, dtype)  # (n_q, n_p_s)
+    dN = jnp.asarray(surf.dN, dtype)  # (n_q, n_p_s)
+    tx = jnp.einsum("qp,sp->sq", dN, xe[..., 0])
+    ty = jnp.einsum("qp,sp->sq", dN, xe[..., 1])
+    arc = jnp.sqrt(tx * tx + ty * ty)
+    w = arc * jnp.asarray(surf.w, dtype)[None, :]
+    # traction on the domain from pressure p: -p * outward normal
+    t = jnp.stack([-p * ty / arc, p * tx / arc], axis=-1)  # (n_s, n_q, 2)
+    vals = jnp.einsum("qp,sq,sqc->spc", N, w, t)
+    dofs = element_dofs(edges)
+    return jax.ops.segment_sum(
+        vals.reshape(-1), dofs.reshape(-1), num_segments=2 * n_nodes
+    )
+
+
 # ---------------------------------------------------------------------------
 # integration-point -> node projection
 # ---------------------------------------------------------------------------

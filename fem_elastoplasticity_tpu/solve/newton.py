@@ -142,6 +142,7 @@ def build_load_stepper(
     precision: str = "native",
     pin_zeros=None,
     accumulate_ep: bool = True,
+    f_ext_dir=None,
 ):
     """Build the jittable load-stepping driver.
 
@@ -188,6 +189,11 @@ def build_load_stepper(
                   every step (`tsx-tunnel/pythonFEM.py:1808-1809`) —
                   reference defect #3-bis, PARITY.md.  Affects the plastic
                   tail at ~1.5e-7 relative on the tsx parity mesh.
+      f_ext_dir:  optional (2*n_n,) external load direction ramped with
+                  the load factor: the Newton residual becomes
+                  F_int(u) - zeta * f_ext_dir (e.g. a tunnel support
+                  pressure from `ops.assembly.pressure_traction_vector`).
+                  A DF pair in df32 mode.
 
     Returns run(U_it0, aux0, d_zeta0) -> LoadSteppingResult, jittable.
     In df32 mode U_it0/d_zeta0 are DF pairs and the displacement/ep/zeta/
@@ -241,12 +247,17 @@ def build_load_stepper(
             apex_ep_uses_trial=apex_ep_uses_trial,
         )
 
-    def residual_force(s):
-        """Internal force from the return-map stress; plain array always."""
+    def residual_force(s, zeta):
+        """Newton residual F_int - zeta*f_ext; plain array always."""
         if df_mode:
             f = adf.internal_force_df(gdf, DF(s.hi[:3], s.lo[:3]))
+            if f_ext_dir is not None:
+                f = df_sub(f, df_mul(f_ext_dir, zeta))
             return f.hi
-        return asm.internal_force(geom, s[:3], axis_name=axis_name)
+        f = asm.internal_force(geom, s[:3], axis_name=axis_name)
+        if f_ext_dir is not None:
+            f = f - zeta * f_ext_dir
+        return f
 
     def elastic_stress(e):
         # s = 2G dev3(e) + K tr(e) iota3, written component-wise (lane-major)
@@ -340,7 +351,7 @@ def build_load_stepper(
         def body(carry):
             U_it, dU_prev, _, it, _ = carry
             s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
-            f_int = residual_force(s_rm)
+            f_int = residual_force(s_rm, zeta)
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0

@@ -90,6 +90,80 @@ class TestOperatorIdentities:
         assert np.abs(np.asarray(geom.B)[:, :, n_real_int:]).max(initial=0.0) == 0.0
 
 
+class TestPressureTraction:
+    """`pressure_traction_vector` — arc-length normal-pressure loads
+    (beyond-reference: `tsx-tunnel/pythonFEM.py:1705-1708` is commented out,
+    `Elasticity2D/pythonFEM.py:295-364` only handles axis-aligned edges)."""
+
+    @pytest.mark.parametrize(
+        "etype", [ElementType.P1, ElementType.P2, ElementType.P4]
+    )
+    def test_closed_loop_invariants(self, etype):
+        # constant pressure on the closed tunnel-wall loop: net force is
+        # zero (divergence theorem) and the virtual work against u = (x, y)
+        # is 2*p*A_hole (|∮ u·n ds| = 2A for the enclosed polygon)
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            tsx_mesh,
+            tunnel_wall_edges,
+        )
+        from fem_elastoplasticity_tpu.ops.elements import surface_element
+
+        mesh = tsx_mesh(etype)
+        edges = tunnel_wall_edges(mesh)
+        p = 3.25
+        f = np.asarray(
+            asm.pressure_traction_vector(
+                jnp.asarray(mesh.coords),
+                jnp.asarray(edges),
+                surface_element(etype),
+                p,
+                mesh.n_nodes,
+            )
+        ).reshape(-1, 2)
+        area_scale = p * 4.0  # tunnel semi-axes ~2.2 x 1.75 -> A ~ 12
+        assert np.abs(f.sum(axis=0)).max() < 1e-12 * area_scale
+        # oriented shoelace over the wall segments (endpoints only; the
+        # higher-order nodes sit on the same straight chords)
+        c = np.asarray(mesh.coords)
+        p0, p1 = c[edges[:, 0]], c[edges[:, 1]]
+        area = 0.5 * abs(np.sum(p0[:, 0] * p1[:, 1] - p0[:, 1] * p1[:, 0]))
+        u = c.reshape(-1)
+        work = float(f.reshape(-1) @ u)
+        np.testing.assert_allclose(abs(work), 2.0 * p * area, rtol=1e-12)
+        # support pressure pushes the wall outward (opposes closure)
+        assert work > 0
+
+    def test_matches_straight_edge_traction(self):
+        # on the axis-aligned outer box edges the x-projected reference
+        # measure is exact: pressure p == explicit traction t = -p*n
+        from fem_elastoplasticity_tpu.mesh.boundary import boundary_edges
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+        from fem_elastoplasticity_tpu.ops.elements import surface_element
+
+        mesh = tsx_mesh(ElementType.P1)
+        edges = boundary_edges(np.asarray(mesh.elems), ElementType.P1)
+        c = np.asarray(mesh.coords)
+        top = edges[(c[edges[:, 0], 1] > 49.0) & (c[edges[:, 1], 1] > 49.0)]
+        assert len(top) > 0
+        surf = surface_element(ElementType.P1)
+        p = 1.7
+        f_p = np.asarray(
+            asm.pressure_traction_vector(
+                jnp.asarray(c), jnp.asarray(top), surf, p, mesh.n_nodes
+            )
+        )
+        f_t = np.asarray(
+            asm.traction_force_vector(
+                jnp.asarray(c),
+                jnp.asarray(top),
+                surf,
+                jnp.asarray([0.0, -p]),
+                mesh.n_nodes,
+            )
+        )
+        np.testing.assert_allclose(f_p, f_t, rtol=1e-12, atol=1e-15)
+
+
 def _dense_full(ke, geom):
     K = jnp.zeros((2 * geom.n_nodes, 2 * geom.n_nodes), ke.dtype)
     fd = geom.edofs_t
