@@ -92,6 +92,11 @@ def run_solve_sweep(
             a["free"],
             precond=pre,
             tol=1e-12,
+            # MG iteration counts are mesh-independent (14-21 measured), so
+            # the fixed-trip scan form is cheap — and it avoids the axon
+            # while+gather degradation (solve_cg docstring)
+            maxiter=40 if preconditioner == "mg" else 1000,
+            structure="scan" if preconditioner == "mg" else "while",
         )
         return res.x, res.iters
 

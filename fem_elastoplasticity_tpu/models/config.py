@@ -101,8 +101,14 @@ class TsxTunnelConfig:
     max_steps: int = 100  # history buffer length (T:1758)
     monitor_node: int = 40  # tunnel-wall node whose u_x is recorded (T:1813)
     refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
-    solver: str = "dense"  # "dense" | "cg"
+    solver: str = "dense"  # "dense" | "cg" | "mg" (mg: P1 + refine_levels>0)
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
+    # iterative tangent solves (solver="cg"/"mg"); cg_tol None resolves to
+    # 1e-14 (native f64) / 2e-7 (df32 — the f32 PCG residual floor; the
+    # df32 residual/criterion still deliver f64-grade stopping behavior)
+    cg_tol: float = None
+    cg_maxiter: int = 2000
+    cg_structure: str = "while"  # "while" | "scan" (solve/cg.py docstring)
     dtype: str = "float64"
     # Reproduce reference defect #3-bis (PARITY.md): the tsx reference never
     # applies the plastic-strain update, so Ep_old is re-zeroed each step

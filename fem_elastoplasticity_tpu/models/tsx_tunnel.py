@@ -146,6 +146,12 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     fmap_np, n_free = asm.free_dof_map(mesh.free)
     free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
     fmap = jnp.asarray(fmap_np)
+    # None -> dtype-appropriate default: 1e-14 (f64) / 2e-7 (the f32
+    # preconditioned-residual floor; tighter stalls and trips the
+    # breakdown guard)
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (
+        2e-7 if dtype == jnp.float32 else 1e-14
+    )
 
     coords = jnp.asarray(mesh.coords, dtype)
     elems = jnp.asarray(mesh.elems)
@@ -218,15 +224,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         f0 = asm.internal_force(geom, s0_field)
         rhs0 = -f0 + a["f_ext"] if "f_ext" in a else -f0
 
-        # elastic predictor (T:1748): K u = -F0 (+ support traction)
         D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
-        ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
-        u_el_free = jax.scipy.linalg.cho_solve(cho, rhs0[a["free_idx"]])
-        u_elast = (
-            jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
-        )
 
         mg_pre = None
         if cfg.solver == "mg":
@@ -249,6 +247,38 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
 
             mg_pre = mg.make_vcycle(mg_levels, coarse_solve, nu=2)
 
+        # elastic predictor (T:1748): K u = -F0 (+ support traction)
+        cho = None
+        if cfg.solver == "dense":
+            ke = asm.element_stiffness(geom, D)
+            K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            u_el_free = jax.scipy.linalg.cho_solve(cho, rhs0[a["free_idx"]])
+            u_elast = (
+                jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
+            )
+        else:
+            # matrix-free predictor — the dense K never exists (the
+            # reference's scalability cliff, SURVEY.md §8.3)
+            from ..solve.cg import block_jacobi_preconditioner, solve_cg
+
+            fmask = (
+                jnp.zeros((2 * n_nodes,), bool).at[a["free_idx"]].set(True)
+            )
+            pre = mg_pre
+            if pre is None:
+                blocks = asm.node_block_diagonal(geom, D)
+                pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
+            u_elast = solve_cg(
+                lambda v: asm.tangent_matvec(geom, D, v),
+                rhs0,
+                fmask,
+                precond=pre,
+                tol=cg_tol,
+                maxiter=cfg.cg_maxiter,
+                structure=cfg.cg_structure,
+            ).x
+
         stepper = build_load_stepper(
             geom,
             a["free_idx"],
@@ -262,6 +292,9 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
             e0_dir=a["e0"],
             monitor=lambda u, s: u[monitor_dof],
             solver=cfg.solver,
+            cg_tol=cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+            cg_structure=cfg.cg_structure,
             dense_mode=cfg.dense_mode,
             mg_preconditioner=mg_pre,
             elastic_factor=(
@@ -300,10 +333,7 @@ def build_df32(cfg: TsxTunnelConfig):
     from ..solve.newton import NewtonSettings, build_load_stepper
     from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
-    assert cfg.solver == "dense", "df32 fast path uses the dense solver"
-    assert cfg.support_pressure == 0.0, (
-        "support pressure runs on the native path (solver='cg' or f64)"
-    )
+    assert cfg.solver in ("dense", "cg", "mg"), cfg.solver
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
@@ -345,6 +375,59 @@ def build_df32(cfg: TsxTunnelConfig):
             (max(4 * gdf.hi.n_int, 2 * n_nodes),), jnp.float32
         ),
     )
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else 2e-7
+    if cfg.solver in ("cg", "mg"):
+        args["free_mask"] = jnp.asarray(mesh.free)
+    if cfg.support_pressure != 0.0:
+        # setup-time f64 traction on host CPU, split exactly into a DF pair
+        from ..ops.elements import surface_element
+
+        edges = tunnel_wall_edges(mesh)
+        with jax.default_device(jax.devices("cpu")[0]):
+            f_ext64 = np.asarray(
+                asm.pressure_traction_vector(
+                    jnp.asarray(mesh.coords, jnp.float64),
+                    jnp.asarray(edges),
+                    surface_element(cfg.etype),
+                    jnp.asarray(cfg.support_pressure, jnp.float64),
+                    n_nodes,
+                ),
+                np.float64,
+            )
+        fh, fl = adf.split_f64_np(f_ext64)
+        args["f_ext_hi"], args["f_ext_lo"] = jnp.asarray(fh), jnp.asarray(fl)
+    if cfg.solver == "mg":
+        # f32 hierarchy for the V-cycle preconditioner (preconditioner
+        # accuracy is irrelevant to the df32 trajectory — CG measures the
+        # true f32 residual and the df32 criterion measures convergence)
+        assert cfg.etype == ElementType.P1, "mg solver requires P1"
+        from ..solve import multigrid as mgm
+
+        raw = np.load(_DATA)
+        base_c = raw["coords"].astype(np.float32)
+        base_e = raw["elems"]
+
+        def _free_fn(cc):
+            fr = np.ones((cc.shape[0], 2), dtype=bool)
+            fr[np.abs(cc[:, 0]) > 49.99, 0] = False
+            fr[np.abs(cc[:, 1]) > 49.99, 1] = False
+            return fr
+
+        args["hier"] = mgm.build_hierarchy(
+            base_c, base_e, cfg.refine_levels, _free_fn
+        )
+        fmap0_np, n_free0 = asm.free_dof_map(np.asarray(args["hier"][0].free))
+        args["fmap0"] = jnp.asarray(fmap0_np)
+        args["free_idx0"] = jnp.asarray(
+            np.nonzero(np.asarray(args["hier"][0].free).reshape(-1))[0]
+        )
+        n_free0_static = n_free0
+        from ..ops.elements import tables as _tables
+
+        tab32 = _tables(ref)
+        args["tab32"] = type(tab32)(
+            *[jnp.asarray(x, jnp.float32) for x in tab32]
+        )
 
     @jax.jit
     def run(a):
@@ -360,18 +443,72 @@ def build_df32(cfg: TsxTunnelConfig):
         # initial-stress force F0 = B^T (w * s0[:3]) in double-float (T:1737)
         bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
         f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+        rhs = DF(-f0.hi, -f0.lo)
+        f_ext = None
+        if "f_ext_hi" in a:
+            from ..ops.df32 import df_add
 
-        # elastic predictor (T:1748): K u = -F0, f32 Cholesky + df32 IR
+            f_ext = DF(a["f_ext_hi"], a["f_ext_lo"])
+            rhs = df_add(rhs, f_ext)
+
+        # elastic predictor (T:1748): K u = -F0 (+ support traction),
+        # f32 inner solve (Cholesky or PCG) + df32 iterative refinement
         D = elastic_tangent_lanes(shear, bulk, n_int, f32)
-        ke = asm.element_stiffness(g.hi, D)
-        K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
         zero_u = DF(
             jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
         )
-        u_elast = adf.refine_elastic_solve_df(
-            g, cho, a["free_idx"], zero_u, DF(-f0.hi, -f0.lo), shear, bulk
-        )
+        cho = None
+        mg_pre = None
+        if cfg.solver == "dense":
+            ke = asm.element_stiffness(g.hi, D)
+            K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            u_elast = adf.refine_elastic_solve_df(
+                g, cho, a["free_idx"], zero_u, rhs, shear, bulk
+            )
+        else:
+            from ..solve.cg import block_jacobi_preconditioner, solve_cg
+
+            if cfg.solver == "mg":
+                from ..solve import multigrid as mgm
+
+                d_fn = lambda gg: elastic_tangent_lanes(
+                    shear, bulk, gg.n_int, f32
+                )
+                mg_levels = mgm.build_mg_levels(a["hier"], a["tab32"], d_fn)
+                lev0 = mg_levels[0]
+                K0 = asm.assemble_dense_free(
+                    asm.element_stiffness(lev0.geom, lev0.d),
+                    lev0.geom, a["fmap0"], n_free0_static,
+                )
+                cho0 = jax.scipy.linalg.cho_factor(K0)
+                idx0 = a["free_idx0"]
+
+                def coarse_solve(r):
+                    return jnp.zeros_like(r).at[idx0].set(
+                        jax.scipy.linalg.cho_solve(cho0, r[idx0])
+                    )
+
+                mg_pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=2)
+                pre = mg_pre
+            else:
+                blocks = asm.node_block_diagonal(g.hi, D)
+                pre = block_jacobi_preconditioner(blocks, a["free_mask"])
+
+            def solve_fn(r_hi):
+                return solve_cg(
+                    lambda v: asm.tangent_matvec(g.hi, D, v),
+                    r_hi,
+                    a["free_mask"],
+                    precond=pre,
+                    tol=cg_tol,
+                    maxiter=cfg.cg_maxiter,
+                    structure=cfg.cg_structure,
+                ).x
+
+            u_elast = adf.refine_elastic_solve_with(
+                g, solve_fn, zero_u, rhs, shear, bulk
+            )
 
         d_zeta = df_const(cfg.d_zeta)
         from ..ops.df32 import df_barrier, df_mul
@@ -381,11 +518,16 @@ def build_df32(cfg: TsxTunnelConfig):
             settings,
             e0_dir=DF(a["e0_hi"], a["e0_lo"]),
             monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
-            solver="dense",
+            solver=cfg.solver,
+            cg_tol=cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+            cg_structure=cfg.cg_structure,
+            mg_preconditioner=mg_pre,
             elastic_factor=cho,
             precision="df32",
             pin_zeros=a["pinz"],
             accumulate_ep=not cfg.bug_compatible_ep_reset,
+            f_ext_dir=f_ext,
         )
         return stepper(df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta)
 

@@ -231,6 +231,31 @@ def elastic_apply_df(g: GeometryDF, u: DF, shear: float, bulk: float) -> DF:
     return internal_force_df(g, elastic_stress_df(strains_df(g, u), shear, bulk))
 
 
+def refine_elastic_solve_with(
+    g: GeometryDF,
+    solve_fn,
+    u0: DF,
+    f_ext: DF,
+    shear: float,
+    bulk: float,
+    iters: int = 4,
+) -> DF:
+    """df32-accurate elastic solve: K u = f_ext with a generic inner solver.
+
+    Iterative refinement with the double-float residual: each pass calls
+    `solve_fn(r_hi_full) -> du_full` (an approximate f32 K^{-1} on the free
+    subspace, zero on constrained DOFs — a Cholesky back-substitution or a
+    PCG solve) and multiplies the residual by the inner solver's relative
+    accuracy, so a handful of passes reach the ~1e-14 df32 floor.
+    """
+    u = u0
+    for _ in range(iters):
+        r = df_add(f_ext, DF(*map(jnp.negative, elastic_apply_df(g, u, shear, bulk))))
+        du = solve_fn(r.hi)
+        u = df_add(u, DF(du, jnp.zeros_like(du)))
+    return u
+
+
 def refine_elastic_solve_df(
     g: GeometryDF,
     cho,
@@ -251,11 +276,10 @@ def refine_elastic_solve_df(
     """
     import jax
 
-    u = u0
     zeros = jnp.zeros_like(u0.hi)
-    for _ in range(iters):
-        r = df_add(f_ext, DF(*map(jnp.negative, elastic_apply_df(g, u, shear, bulk))))
-        du_free = jax.scipy.linalg.cho_solve(cho, r.hi[free_idx])
-        du = zeros.at[free_idx].set(du_free)
-        u = df_add(u, DF(du, jnp.zeros_like(du)))
-    return u
+
+    def solve_fn(r_hi):
+        du_free = jax.scipy.linalg.cho_solve(cho, r_hi[free_idx])
+        return zeros.at[free_idx].set(du_free)
+
+    return refine_elastic_solve_with(g, solve_fn, u0, f_ext, shear, bulk, iters)

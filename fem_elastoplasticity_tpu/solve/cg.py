@@ -1,4 +1,4 @@
-"""Matrix-free preconditioned conjugate gradients under `lax.while_loop`.
+"""Matrix-free preconditioned conjugate gradients (while_loop or scan).
 
 Replaces the reference's dense `np.linalg.solve` on the boolean-masked
 stiffness (`tsx-tunnel/pythonFEM.py:1741-1748`) — the O(n^2)-memory /
@@ -77,6 +77,7 @@ def solve_cg(
     tol: float = 1e-12,
     atol: float = 0.0,
     maxiter: int = 1000,
+    structure: str = "while",
 ) -> CGResult:
     """Projected preconditioned CG on the free-DOF subspace.
 
@@ -88,6 +89,16 @@ def solve_cg(
               is zero on constrained DOFs — callers add Dirichlet lifts
               themselves, as the reference does via `ud`, E:1141-1147).
       tol:    relative residual tolerance (on the preconditioned norm).
+      structure: "while" (dynamic trip count, stops at convergence) or
+              "scan" (fixed `maxiter` trips with the state frozen after
+              convergence — identical iterates, wasted trips after the
+              stopping test fires).  "scan" suits bounded, small iteration
+              counts (e.g. multigrid-preconditioned solves, 14-21 its
+              measured): the trip count is static, so XLA can pipeline the
+              body and the program needs no convergence-dependent control
+              flow.  (Round-2 bisect note: `lax.while_loop` itself is NOT
+              an axon degradation trigger — only embedded array constants
+              are; `tools/axon_degradation_repro.py matrix`.)
 
     Non-convergence is not silent: `CGResult.converged` is False when the
     iteration cap was hit before the tolerance; `solve.newton` treats that
@@ -100,31 +111,84 @@ def solve_cg(
     M = precond if precond is not None else (lambda r: r)
 
     b = proj(b)
-    x0 = jnp.zeros_like(b) if x0 is None else proj(x0)
+    # scale normalization: CG is scale-invariant in exact arithmetic, but a
+    # tiny right-hand side (e.g. an ~1e-13 df32-accurate Newton residual in
+    # an f32 solve) drives every inner product (gamma ~ |r|^2, p^T A p)
+    # into the denormal regime — stagnation, then overflow through beta
+    # chains.  Solve K (x/s) = b/s with s = max|b| and rescale at the end.
+    bscale = jnp.abs(b).max()
+    ok_b = bscale > 0.0
+    inv_s = jnp.where(ok_b, 1.0 / jnp.where(ok_b, bscale, 1.0), 0.0)
+    b = b * inv_s
+    x0 = jnp.zeros_like(b) if x0 is None else proj(x0) * inv_s
 
     r0 = b - A(x0)
     z0 = proj(M(r0))
     gamma0 = r0 @ z0
     bnorm = jnp.sqrt(b @ proj(M(b)))
-    limit = jnp.maximum(tol * bnorm, atol)
+    limit = jnp.maximum(tol * bnorm, atol * inv_s)
 
-    def cond(state):
-        _, r, _, _, gamma, k = state
-        return (jnp.sqrt(jnp.abs(gamma)) > limit) & (k < maxiter)
+    if structure == "while":
 
-    def body(state):
-        x, r, z, p, gamma, k = state
-        Ap = A(p)
-        alpha = gamma / (p @ Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = proj(M(r))
-        gamma_new = r @ z
-        beta = gamma_new / gamma
-        p = z + beta * p
-        return (x, r, z, p, gamma_new, k + 1)
+        def cond(state):
+            _, r, _, _, gamma, k = state
+            return (jnp.sqrt(jnp.abs(gamma)) > limit) & (k < maxiter)
 
-    state = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
-    x, r, _, _, gamma, k = jax.lax.while_loop(cond, body, state)
+        def body(state):
+            x, r, z, p, gamma, k = state
+            Ap = A(p)
+            pAp = p @ Ap
+            # breakdown guard: pAp underflows to (or below) zero when the
+            # iteration stagnates at the dtype's floor (f32 inner solves of
+            # near-converged Newton residuals) — keep the best iterate and
+            # exit via gamma = 0 instead of polluting x with inf*0
+            ok = pAp > 0.0
+            alpha = jnp.where(ok, gamma / jnp.where(ok, pAp, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = proj(M(r))
+            gamma_new = jnp.where(ok, r @ z, 0.0)
+            beta = gamma_new / jnp.where(gamma != 0.0, gamma, 1.0)
+            p = z + beta * p
+            return (x, r, z, p, gamma_new, k + 1)
+
+        state = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
+        x, r, _, _, gamma, k = jax.lax.while_loop(cond, body, state)
+    elif structure == "scan":
+        # fixed trip count; `done` freezes the state so post-convergence
+        # trips are no-ops (and their 0/0 ratios never reach the state)
+        def body(state, _):
+            x, r, z, p, gamma, k, done = state
+            Ap = A(p)
+            pAp = p @ Ap
+            # same breakdown guard as the while body
+            ok = pAp > 0.0
+            alpha = jnp.where(ok, gamma / jnp.where(ok, pAp, 1.0), 0.0)
+            x1 = x + alpha * p
+            r1 = r - alpha * Ap
+            z1 = proj(M(r1))
+            gamma1 = jnp.where(ok, r1 @ z1, 0.0)
+            beta = gamma1 / jnp.where(gamma != 0.0, gamma, 1.0)
+            p1 = z1 + beta * p
+            sel = lambda new, old: jnp.where(done, old, new)
+            state = (
+                sel(x1, x), sel(r1, r), sel(z1, z), sel(p1, p),
+                sel(gamma1, gamma), sel(k + 1, k),
+                done | (jnp.sqrt(jnp.abs(gamma1)) <= limit),
+            )
+            return state, None
+
+        done0 = jnp.sqrt(jnp.abs(gamma0)) <= limit
+        state = (x0, r0, z0, z0, gamma0, jnp.asarray(0), done0)
+        (x, r, _, _, gamma, k, _), _ = jax.lax.scan(
+            body, state, None, length=maxiter
+        )
+    else:
+        raise ValueError(f"unknown structure {structure!r}")
     res = jnp.sqrt(jnp.abs(gamma))
-    return CGResult(x=x, iters=k, residual=res, converged=res <= limit)
+    return CGResult(
+        x=x * bscale,
+        iters=k,
+        residual=res * bscale,
+        converged=res <= limit,
+    )

@@ -133,6 +133,7 @@ def build_load_stepper(
     solver: str = "dense",
     cg_tol: float = 1e-14,
     cg_maxiter: int = 2000,
+    cg_structure: str = "while",
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
@@ -204,7 +205,10 @@ def build_load_stepper(
         from ..models import materials_df as mdf
         from ..ops import assembly_df as adf
 
-        assert solver == "dense", "df32 precision requires the dense solver"
+        # dense: f32 Cholesky (+ elastic-factor reuse); cg/mg: matrix-free
+        # f32 PCG tangent solves (inexact Newton — the df32 residual and
+        # criterion still deliver the f64-grade stopping behavior)
+        assert solver in ("dense", "cg", "mg"), solver
         gdf = geom
         geom = gdf.hi
     dtype = geom.B.dtype
@@ -333,7 +337,19 @@ def build_load_stepper(
             precond=pre,
             tol=cg_tol,
             maxiter=cg_maxiter,
+            structure=cg_structure,
         )
+        import os
+
+        if os.environ.get("FEM_TPU_DEBUG_CG"):
+            jax.debug.print(
+                "cg: b_nan={bn} d_nan={dn} x_nan={xn} iters={it} res={r} "
+                "conv={c} bmax={bm} xmax={xm}",
+                bn=jnp.isnan(f_int).sum(), dn=jnp.isnan(d).sum(),
+                xn=jnp.isnan(res.x).sum(), it=res.iters, r=res.residual,
+                c=res.converged, bm=jnp.abs(f_int).max(),
+                xm=jnp.abs(res.x).max(),
+            )
         return res.x, res.converged
 
     def inner_newton(U_it, ep, zeta):

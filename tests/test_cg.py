@@ -47,6 +47,40 @@ class TestSolveCG:
         ref = np.linalg.solve(K[np.ix_(f, f)], b[f])
         np.testing.assert_allclose(np.asarray(res.x)[f], ref, rtol=1e-8)
 
+    def test_scan_structure_matches_while(self):
+        # the fixed-trip lax.scan form (axon while+gather workaround,
+        # solve_cg docstring) produces the identical iterate sequence:
+        # same x, same iteration count, same convergence flag
+        n = 48
+        K = np.kron(_spd(n, 7), np.eye(2))
+        free = np.ones((n, 2), bool)
+        free[:3] = False
+        b = np.random.default_rng(8).normal(size=2 * n)
+        kw = dict(tol=1e-13, maxiter=300)
+        r_w = solve_cg(
+            lambda v: jnp.asarray(K) @ v, jnp.asarray(b), jnp.asarray(free),
+            structure="while", **kw,
+        )
+        r_s = solve_cg(
+            lambda v: jnp.asarray(K) @ v, jnp.asarray(b), jnp.asarray(free),
+            structure="scan", **kw,
+        )
+        assert int(r_s.iters) == int(r_w.iters)
+        assert bool(r_s.converged) and bool(r_w.converged)
+        np.testing.assert_array_equal(np.asarray(r_s.x), np.asarray(r_w.x))
+
+    def test_scan_structure_cap_hit_flags_nonconverged(self):
+        n = 64
+        K = np.kron(_spd(n, 9), np.eye(2))
+        b = np.random.default_rng(10).normal(size=2 * n)
+        res = solve_cg(
+            lambda v: jnp.asarray(K) @ v, jnp.asarray(b),
+            jnp.ones((n, 2), bool), tol=1e-14, maxiter=3, structure="scan",
+        )
+        assert not bool(res.converged)
+        assert int(res.iters) == 3
+        assert np.isfinite(np.asarray(res.x)).all()
+
     def test_block_jacobi_reduces_iterations(self):
         n = 200
         # badly scaled block-diagonal-dominant matrix

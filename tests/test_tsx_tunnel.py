@@ -82,6 +82,28 @@ class TestDf32FastPath:
         a = float(result_p1.displ_hist[16])
         assert abs(float(r.displ_hist[16]) - a) / abs(a) < 1e-10
 
+    def test_cg_tangent_solves_match_f64(self, result_p1):
+        # df32 with matrix-free f32 block-Jacobi PCG tangent solves
+        # (inexact Newton): the df32 residual/criterion still deliver the
+        # f64 17-step schedule and ~1e-12 field accuracy — the combination
+        # that scales the fast path past dense-factorizable mesh sizes
+        r = solve(TsxTunnelConfig.fast(solver="cg"))
+        assert r.n_steps == 17
+        u40 = float(r.u[40, 0])
+        a = float(result_p1.u[40, 0])
+        assert abs(u40 - a) / abs(a) < 1e-9
+
+    def test_mg_refined_matches_native_f64(self):
+        # one uniform refinement (3.7k DOFs, 20 plastic points): df32 with
+        # an f32 geometric-multigrid V-cycle preconditioner reproduces the
+        # native f64 CG trajectory (measured -2.166787295662e-03 this
+        # round) — full excavation, mesh too plastic for dense reuse
+        r = solve(TsxTunnelConfig.fast(solver="mg", refine_levels=1))
+        assert r.n_steps == 17
+        assert r.n_plastic == 20
+        u40 = float(r.u[40, 0])
+        assert abs(u40 - (-2.166787295662e-03)) / 2.17e-3 < 1e-8
+
 
 class TestSolverEquivalence:
     def test_cg_matches_dense(self):
