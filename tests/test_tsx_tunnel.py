@@ -93,6 +93,17 @@ class TestDf32FastPath:
         a = float(result_p1.u[40, 0])
         assert abs(u40 - a) / abs(a) < 1e-9
 
+    def test_p2_df32_cg_matches_native(self):
+        # the df32 pipeline is element-generic (n_q > 1 quadrature
+        # reduction in assembly_df): P2 truncated schedule matches the
+        # native f64 path
+        kw = dict(solver="cg", etype=ElementType.P2, zeta_max=2 / 17)
+        r = solve(TsxTunnelConfig.fast(**kw))
+        r2 = solve(TsxTunnelConfig(**kw))
+        assert r.n_steps == r2.n_steps
+        a = float(r2.u[40, 0])
+        assert abs(float(r.u[40, 0]) - a) / abs(a) < 1e-9
+
     def test_mg_refined_matches_native_f64(self):
         # one uniform refinement (3.7k DOFs, 20 plastic points): df32 with
         # an f32 geometric-multigrid V-cycle preconditioner reproduces the
