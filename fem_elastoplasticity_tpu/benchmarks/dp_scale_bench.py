@@ -44,20 +44,42 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
     results = []
     for level in levels:
         cfg = TsxTunnelConfig.fast(solver="mg", refine_levels=level)
-        t0 = time.perf_counter()
-        run, args, mesh = tsx.build_df32(cfg)
-        t_setup = time.perf_counter() - t0
+        # levels >= 4 run the load loop in resume-chunked dispatches
+        # (trajectory-identical, tested): the axon tunnel aborts single
+        # dispatches running >~1-2 min
+        chunked = level >= 4
+        if chunked:
+            t0 = time.perf_counter()
+            execute, mesh = tsx.build_df32_chunked(cfg, trips_per_chunk=3)
+            t_setup = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        res = jax.block_until_ready(run(args))
-        t_first = time.perf_counter() - t0  # compile + first execution
+            t0 = time.perf_counter()
+            res = execute()
+            jax.block_until_ready(res.u.hi)
+            t_first = time.perf_counter() - t0
 
-        walls = []
-        for _ in range(reps):
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                res = execute()
+                jax.block_until_ready(res.u.hi)
+                walls.append(time.perf_counter() - t0)
+            wall = float(np.median(walls)) if walls else t_first
+        else:
+            t0 = time.perf_counter()
+            run, args, mesh = tsx.build_df32(cfg)
+            t_setup = time.perf_counter() - t0
+
             t0 = time.perf_counter()
             res = jax.block_until_ready(run(args))
-            walls.append(time.perf_counter() - t0)
-        wall = float(np.median(walls))
+            t_first = time.perf_counter() - t0  # compile + first execution
+
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                res = jax.block_until_ready(run(args))
+                walls.append(time.perf_counter() - t0)
+            wall = float(np.median(walls))
 
         u40 = float(np.asarray(res.u.hi, np.float64)[80]) + float(
             np.asarray(res.u.lo, np.float64)[80]

@@ -104,6 +104,11 @@ class TsxTunnelConfig:
     newton_tol: float = 1e-12
     accept_tol: float = 1e-10
     max_steps: int = 100  # history buffer length (T:1758)
+    # cap on load-loop trips per stepper invocation; lower it (e.g. 3) to
+    # run the schedule in multiple dispatches with resume= chunking — the
+    # axon tunnel aborts single dispatches running >~1-2 min (large-mesh
+    # programs; see benchmarks/dp_scale_bench.py)
+    max_trips: int = 10000
     monitor_node: int = 40  # tunnel-wall node whose u_x is recorded (T:1813)
     refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
     solver: str = "dense"  # "dense" | "cg" | "mg" (mg: P1 + refine_levels>0)

@@ -165,6 +165,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         zeta_max=cfg.zeta_max,
         max_steps=cfg.max_steps,
         step0=0,
+        max_trips=cfg.max_trips,
     )
 
     # every array enters through the jit boundary as an argument — the axon
@@ -357,6 +358,7 @@ def build_df32(cfg: TsxTunnelConfig):
         zeta_max=cfg.zeta_max,
         max_steps=cfg.max_steps,
         step0=0,
+        max_trips=cfg.max_trips,
     )
 
     s0_hi, s0_lo = adf.split_f64_np(s0)
@@ -430,7 +432,7 @@ def build_df32(cfg: TsxTunnelConfig):
         )
 
     @jax.jit
-    def run(a):
+    def run(a, resume=None):
         g = adf.GeometryDF(
             hi=asm.Geometry(
                 B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
@@ -529,9 +531,59 @@ def build_df32(cfg: TsxTunnelConfig):
             accumulate_ep=not cfg.bug_compatible_ep_reset,
             f_ext_dir=f_ext,
         )
-        return stepper(df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta)
+        return stepper(
+            df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta, resume=resume
+        )
 
     return run, args, mesh
+
+
+def build_df32_chunked(
+    cfg: TsxTunnelConfig, trips_per_chunk: int = 3, max_chunks: int = 200
+):
+    """Build a resume-chunked df32 executor: returns (execute, mesh).
+
+    The axon tunnel aborts single device dispatches running longer than
+    ~1-2 minutes, which caps the single-jit adaptive solve at ~level-3
+    meshes.  `execute()` runs the load loop in chunks of
+    `trips_per_chunk` trips, carrying the FULL solver state (df32 pairs
+    included) between dispatches on device via the stepper's `resume`
+    path — trajectory-identical to the single-dispatch run
+    (`tests/test_tsx_tunnel.py::TestDf32FastPath::test_chunked_matches_single_dispatch`).
+    Repeated `execute()` calls reuse the compiled programs.
+    """
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, max_trips=trips_per_chunk)
+    run, args, mesh = build_df32(cfg2)
+    d_zeta_min = cfg.d_zeta * cfg.d_zeta_min_ratio
+
+    def execute():
+        res = run(args)
+        for _ in range(max_chunks):
+            z = float(res.zeta.hi) + float(res.zeta.lo)
+            dz = float(res.d_zeta.hi) + float(res.d_zeta.lo)
+            if z >= cfg.zeta_max - 1e-12 or dz < d_zeta_min:
+                break
+            resume = dict(
+                u=res.u, u_old=res.u_old, u_it=res.u_it, ep=res.ep,
+                zeta_old=res.zeta, d_zeta=res.d_zeta,
+                d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
+                zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
+                nits_total=res.n_newton_total,
+            )
+            res = run(args, resume)
+        return res
+
+    return execute, mesh
+
+
+def run_df32_chunked(
+    cfg: TsxTunnelConfig, trips_per_chunk: int = 3, max_chunks: int = 200
+):
+    """One-shot wrapper around `build_df32_chunked` — (res, mesh)."""
+    execute, mesh = build_df32_chunked(cfg, trips_per_chunk, max_chunks)
+    return execute(), mesh
 
 
 def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
@@ -602,6 +654,7 @@ def solve_sharded(
         zeta_max=cfg.zeta_max,
         max_steps=cfg.max_steps,
         step0=0,
+        max_trips=cfg.max_trips,
     )
     monitor_dof = 2 * cfg.monitor_node
 

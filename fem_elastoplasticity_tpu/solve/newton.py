@@ -475,17 +475,20 @@ def build_load_stepper(
                 done=jnp.asarray(False),
             )
         if resume is not None:
-            assert not df_mode, "checkpoint/resume supports native precision"
             rename = {
                 "u": "U", "u_old": "U_old", "u_it": "U_it",
                 "monitor_hist": "mon_hist",
             }
-            upd = {
-                rename.get(k, k): jnp.asarray(v, dtype)
-                if jnp.asarray(v).dtype.kind == "f"
-                else jnp.asarray(v)
-                for k, v in dict(resume).items()
-            }
+
+            def _cast(v):
+                # df32 carry fields arrive as DF pairs and pass through
+                # unchanged (chunked execution / checkpoint round-trips)
+                if isinstance(v, DF):
+                    return v
+                a = jnp.asarray(v)
+                return jnp.asarray(v, dtype) if a.dtype.kind == "f" else a
+
+            upd = {rename.get(k, k): _cast(v) for k, v in dict(resume).items()}
             c0 = c0._replace(**upd)
 
         def cond(s):

@@ -93,6 +93,24 @@ class TestDf32FastPath:
         a = float(result_p1.u[40, 0])
         assert abs(u40 - a) / abs(a) < 1e-9
 
+    def test_chunked_matches_single_dispatch(self):
+        # resume-chunked execution (3 trips/dispatch) is bit-identical to
+        # the single-dispatch run — the df32 carry round-trips losslessly
+        # through the stepper's resume path (large-mesh dispatch splitting,
+        # models/tsx_tunnel.run_df32_chunked)
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        cfg = TsxTunnelConfig.fast()
+        run, args, _ = tsx.build_df32(cfg)
+        full = run(args)
+        res, _ = tsx.run_df32_chunked(cfg, trips_per_chunk=3)
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        assert int(res.n_steps) == int(full.n_steps)
+        assert int(res.n_newton_total) == int(full.n_newton_total)
+        np.testing.assert_array_equal(f64(res.u), f64(full.u))
+
     def test_p2_df32_cg_matches_native(self):
         # the df32 pipeline is element-generic (n_q > 1 quadrature
         # reduction in assembly_df): P2 truncated schedule matches the
