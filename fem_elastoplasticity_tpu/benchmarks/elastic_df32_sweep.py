@@ -67,13 +67,34 @@ def run_elastic_df32_sweep(levels=(0, 1, 2, 3, 4), reps: int = 3, verbose=True):
             B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap,
             free_mask=jnp.asarray(mesh.free),
             s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
-            hier=hier, tab32=tab32,
-            fmap0=jnp.asarray(fmap0_np),
             free_idx0=jnp.asarray(
                 np.nonzero(np.asarray(hier[0].free).reshape(-1))[0]
             ),
         )
         n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
+
+        # hoisted MG build (one jitted setup program; see multigrid
+        # mg_level_arrays) — not recomputed in every IR-pass dispatch
+        d_fn = lambda gg: elastic_tangent_lanes(shear, bulk, gg.n_int, f32)
+
+        def _build_mg(h, t, fmap0):
+            levels = mgm.build_mg_levels(h, t, d_fn)
+            arrays, _ = mgm.mg_level_arrays(levels)
+            lev0 = levels[0]
+            K0 = asm.assemble_dense_free(
+                asm.element_stiffness(lev0.geom, lev0.d),
+                lev0.geom, fmap0, n_free0,
+            )
+            c0, _ = jax.scipy.linalg.cho_factor(K0)
+            return arrays, c0
+
+        args["mg_arrays"], args["cho0"] = jax.jit(_build_mg)(
+            hier, tab32, jnp.asarray(fmap0_np)
+        )
+        mg_static = [
+            (int(h.coords.shape[0]), n_q, int(h.elems.shape[0]))
+            for h in hier
+        ]
         t_setup = time.perf_counter() - t0
 
         def geom_of(a):
@@ -97,19 +118,12 @@ def run_elastic_df32_sweep(levels=(0, 1, 2, 3, 4), reps: int = 3, verbose=True):
             f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
             D = elastic_tangent_lanes(shear, bulk, n_int, f32)
 
-            d_fn = lambda gg: elastic_tangent_lanes(shear, bulk, gg.n_int, f32)
-            mg_levels = mgm.build_mg_levels(a["hier"], a["tab32"], d_fn)
-            lev0 = mg_levels[0]
-            K0 = asm.assemble_dense_free(
-                asm.element_stiffness(lev0.geom, lev0.d),
-                lev0.geom, a["fmap0"], n_free0,
-            )
-            cho0 = jax.scipy.linalg.cho_factor(K0)
+            mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
             idx0 = a["free_idx0"]
 
             def coarse_solve(r):
                 return jnp.zeros_like(r).at[idx0].set(
-                    jax.scipy.linalg.cho_solve(cho0, r[idx0])
+                    jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                 )
 
             pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=2)

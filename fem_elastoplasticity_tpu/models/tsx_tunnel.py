@@ -415,21 +415,40 @@ def build_df32(cfg: TsxTunnelConfig):
             fr[np.abs(cc[:, 1]) > 49.99, 1] = False
             return fr
 
-        args["hier"] = mgm.build_hierarchy(
-            base_c, base_e, cfg.refine_levels, _free_fn
-        )
-        fmap0_np, n_free0 = asm.free_dof_map(np.asarray(args["hier"][0].free))
-        args["fmap0"] = jnp.asarray(fmap0_np)
+        hier = mgm.build_hierarchy(base_c, base_e, cfg.refine_levels, _free_fn)
+        fmap0_np, n_free0 = asm.free_dof_map(np.asarray(hier[0].free))
         args["free_idx0"] = jnp.asarray(
-            np.nonzero(np.asarray(args["hier"][0].free).reshape(-1))[0]
+            np.nonzero(np.asarray(hier[0].free).reshape(-1))[0]
         )
-        n_free0_static = n_free0
         from ..ops.elements import tables as _tables
 
         tab32 = _tables(ref)
-        args["tab32"] = type(tab32)(
-            *[jnp.asarray(x, jnp.float32) for x in tab32]
+        tab32 = type(tab32)(*[jnp.asarray(x, jnp.float32) for x in tab32])
+
+        # HOIST the MG build: per-level geometry/smoother blocks and the
+        # coarse Cholesky factor are computed once here (one jitted setup
+        # program), not inside every solver dispatch — cuts stepper
+        # compile time and per-chunk runtime (ROADMAP r2 #10)
+        d_fn = lambda gg: elastic_tangent_lanes(shear, bulk, gg.n_int, f32)
+
+        def _build_mg(h, t, fmap0):
+            levels = mgm.build_mg_levels(h, t, d_fn)
+            arrays, _ = mgm.mg_level_arrays(levels)
+            lev0 = levels[0]
+            K0 = asm.assemble_dense_free(
+                asm.element_stiffness(lev0.geom, lev0.d),
+                lev0.geom, fmap0, n_free0,
+            )
+            c0, _ = jax.scipy.linalg.cho_factor(K0)
+            return arrays, c0
+
+        args["mg_arrays"], args["cho0"] = jax.jit(_build_mg)(
+            hier, tab32, jnp.asarray(fmap0_np)
         )
+        mg_static = [
+            (int(h.coords.shape[0]), n_q, int(h.elems.shape[0]))
+            for h in hier
+        ]
 
     @jax.jit
     def run(a, resume=None):
@@ -474,21 +493,16 @@ def build_df32(cfg: TsxTunnelConfig):
             if cfg.solver == "mg":
                 from ..solve import multigrid as mgm
 
-                d_fn = lambda gg: elastic_tangent_lanes(
-                    shear, bulk, gg.n_int, f32
+                # precomputed at setup (see _build_mg above) — only the
+                # arrays cross the jit boundary
+                mg_levels = mgm.mg_levels_from_arrays(
+                    a["mg_arrays"], mg_static
                 )
-                mg_levels = mgm.build_mg_levels(a["hier"], a["tab32"], d_fn)
-                lev0 = mg_levels[0]
-                K0 = asm.assemble_dense_free(
-                    asm.element_stiffness(lev0.geom, lev0.d),
-                    lev0.geom, a["fmap0"], n_free0_static,
-                )
-                cho0 = jax.scipy.linalg.cho_factor(K0)
                 idx0 = a["free_idx0"]
 
                 def coarse_solve(r):
                     return jnp.zeros_like(r).at[idx0].set(
-                        jax.scipy.linalg.cho_solve(cho0, r[idx0])
+                        jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                     )
 
                 mg_pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=2)

@@ -163,6 +163,43 @@ def build_mg_levels(hier: List[MGLevelArrays], tab: ElementTables, d_fn, omega=0
     return levels
 
 
+def mg_level_arrays(levels: List[MGLevel]):
+    """MGLevel list -> (list-of-array-dicts, list-of-static-int-tuples).
+
+    The array dicts are a jit-safe pytree (pass through `args`);
+    `mg_levels_from_arrays` reconstructs the MGLevel list inside the
+    traced function with the static ints from the enclosing scope.  Use
+    this to HOIST `build_mg_levels` out of jitted programs: per-level
+    geometry and smoother blocks are then computed once at setup instead
+    of inside every dispatch (compile-time and per-chunk-runtime win).
+    """
+    arrays = [
+        dict(
+            B=l.geom.B, weight=l.geom.weight, edofs=l.geom.edofs,
+            edofs_t=l.geom.edofs_t, d=l.d, free_flat=l.free_flat,
+            inv_blocks=l.inv_blocks, parents=l.parents,
+        )
+        for l in levels
+    ]
+    static = [(l.geom.n_nodes, l.geom.n_q, l.geom.n_real) for l in levels]
+    return arrays, static
+
+
+def mg_levels_from_arrays(arrays, static) -> List[MGLevel]:
+    """Inverse of `mg_level_arrays` (inside a traced function)."""
+    return [
+        MGLevel(
+            geom=asm.Geometry(
+                B=a["B"], weight=a["weight"], edofs=a["edofs"],
+                edofs_t=a["edofs_t"], n_nodes=s[0], n_q=s[1], n_real=s[2],
+            ),
+            d=a["d"], free_flat=a["free_flat"],
+            inv_blocks=a["inv_blocks"], parents=a["parents"],
+        )
+        for a, s in zip(arrays, static)
+    ]
+
+
 def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
     """V-cycle preconditioner application r -> z (approximate K^{-1} r).
 
