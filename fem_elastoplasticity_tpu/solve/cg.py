@@ -131,29 +131,34 @@ def solve_cg(
     if structure == "while":
 
         def cond(state):
-            _, r, _, _, gamma, k = state
-            return (jnp.sqrt(jnp.abs(gamma)) > limit) & (k < maxiter)
+            _, r, _, _, gamma, k, stop = state
+            return (~stop) & (jnp.sqrt(jnp.abs(gamma)) > limit) & (k < maxiter)
 
         def body(state):
-            x, r, z, p, gamma, k = state
+            x, r, z, p, gamma, k, _ = state
             Ap = A(p)
             pAp = p @ Ap
-            # breakdown guard: pAp underflows to (or below) zero when the
-            # iteration stagnates at the dtype's floor (f32 inner solves of
-            # near-converged Newton residuals) — keep the best iterate and
-            # exit via gamma = 0 instead of polluting x with inf*0
+            # breakdown guard (pAp <= 0): either f32 stagnation at the
+            # dtype floor or a genuinely indefinite operator (plastic
+            # apex tangents).  Keep the best iterate AND the current
+            # gamma, and stop — `converged` then reports honestly whether
+            # the tolerance was reached, so an indefinite tangent solve
+            # surfaces as non-convergence (the Newton caller halves the
+            # step, exactly like the dense path's Cholesky-NaN guard).
             ok = pAp > 0.0
             alpha = jnp.where(ok, gamma / jnp.where(ok, pAp, 1.0), 0.0)
             x = x + alpha * p
             r = r - alpha * Ap
             z = proj(M(r))
-            gamma_new = jnp.where(ok, r @ z, 0.0)
-            beta = gamma_new / jnp.where(gamma != 0.0, gamma, 1.0)
+            gamma_new = jnp.where(ok, r @ z, gamma)
+            beta = jnp.where(
+                ok, gamma_new / jnp.where(gamma != 0.0, gamma, 1.0), 0.0
+            )
             p = z + beta * p
-            return (x, r, z, p, gamma_new, k + 1)
+            return (x, r, z, p, gamma_new, k + 1, ~ok)
 
-        state = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
-        x, r, _, _, gamma, k = jax.lax.while_loop(cond, body, state)
+        state = (x0, r0, z0, z0, gamma0, jnp.asarray(0), jnp.asarray(False))
+        x, r, _, _, gamma, k, _ = jax.lax.while_loop(cond, body, state)
     elif structure == "scan":
         # fixed trip count; `done` freezes the state so post-convergence
         # trips are no-ops (and their 0/0 ratios never reach the state)
@@ -161,20 +166,23 @@ def solve_cg(
             x, r, z, p, gamma, k, done = state
             Ap = A(p)
             pAp = p @ Ap
-            # same breakdown guard as the while body
+            # same breakdown guard as the while body: stop with the
+            # current gamma so `converged` reports honestly
             ok = pAp > 0.0
             alpha = jnp.where(ok, gamma / jnp.where(ok, pAp, 1.0), 0.0)
             x1 = x + alpha * p
             r1 = r - alpha * Ap
             z1 = proj(M(r1))
-            gamma1 = jnp.where(ok, r1 @ z1, 0.0)
-            beta = gamma1 / jnp.where(gamma != 0.0, gamma, 1.0)
+            gamma1 = jnp.where(ok, r1 @ z1, gamma)
+            beta = jnp.where(
+                ok, gamma1 / jnp.where(gamma != 0.0, gamma, 1.0), 0.0
+            )
             p1 = z1 + beta * p
             sel = lambda new, old: jnp.where(done, old, new)
             state = (
                 sel(x1, x), sel(r1, r), sel(z1, z), sel(p1, p),
                 sel(gamma1, gamma), sel(k + 1, k),
-                done | (jnp.sqrt(jnp.abs(gamma1)) <= limit),
+                done | (jnp.sqrt(jnp.abs(gamma1)) <= limit) | ~ok,
             )
             return state, None
 
