@@ -43,7 +43,11 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
 
     results = []
     for level in levels:
-        cfg = TsxTunnelConfig.fast(solver="mg", refine_levels=level)
+        cfg = (
+            TsxTunnelConfig.fast_scale(level)
+            if level >= 4
+            else TsxTunnelConfig.fast(solver="mg", refine_levels=level)
+        )
         # levels >= 4 run the load loop in resume-chunked dispatches
         # (trajectory-identical, tested): the axon tunnel aborts single
         # dispatches running >~1-2 min

@@ -155,3 +155,16 @@ class TsxTunnelConfig:
         kw.setdefault("newton_tol", 1e-6)
         kw.setdefault("accept_tol", 1e-5)
         return cls(**kw)
+
+    @classmethod
+    def fast_scale(cls, refine_levels: int, **kw):
+        """Large-mesh df32 preset: geometric-multigrid-preconditioned
+        inexact-Newton tangent solves at cg_tol 1e-5 (measured
+        trajectory-identical digits vs tol 2e-7 at level 2) — ~8 PCG
+        iterations per tangent solve instead of 40+, keeping per-dispatch
+        runtime under the axon tunnel's long-dispatch abort when combined
+        with `run_df32_chunked` (benchmarks/dp_scale_bench.py)."""
+        kw.setdefault("solver", "mg")
+        kw.setdefault("cg_tol", 1e-5)
+        kw.setdefault("cg_maxiter", 200)
+        return cls.fast(refine_levels=refine_levels, **kw)

@@ -133,6 +133,14 @@ class TestDf32FastPath:
         u40 = float(r.u[40, 0])
         assert abs(u40 - (-2.166787295662e-03)) / 2.17e-3 < 1e-8
 
+    def test_fast_scale_preset_same_trajectory(self):
+        # the large-mesh preset (loose inexact-Newton cg_tol 1e-5) gives
+        # the identical displayed trajectory digits at level 1
+        r = solve(TsxTunnelConfig.fast_scale(1))
+        assert r.n_steps == 17
+        u40 = float(r.u[40, 0])
+        assert abs(u40 - (-2.166787295662e-03)) / 2.17e-3 < 1e-8
+
 
 class TestSolverEquivalence:
     def test_cg_matches_dense(self):
