@@ -319,11 +319,20 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     )
 
 
-def build_df32(cfg: TsxTunnelConfig):
+def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
     """Build the jitted df32 tsx solver: returns (run, args, mesh).
 
     `run(args)` executes the full load-stepped solve on device;
+    `run(args, resume)` continues from a carry (the elastic predictor is
+    statically skipped — resumed chunks never pay for it);
     `_solve_df32` wraps it into a TsxResult (bench.py times `run` raw).
+
+    `extras`, if given, is populated with auxiliary jitted entry points
+    for dispatch-split execution on iterative solvers (cg/mg):
+      predict_pass(a, u_hi, u_lo) -> (u_hi', u_lo')  one df32 IR pass of
+        the elastic predictor (PCG inner solve);
+      start_carry(a, u_hi, u_lo) -> (uit_hi, uit_lo)  the initial Newton
+        iterate d_zeta * u_elast as a DF pair.
     """
     import jax
 
@@ -481,12 +490,18 @@ def build_df32(cfg: TsxTunnelConfig):
         cho = None
         mg_pre = None
         if cfg.solver == "dense":
+            # the factor is needed in resumed chunks too (elastic-step
+            # reuse inside the stepper); only the predictor solve is
+            # statically skipped on resume
             ke = asm.element_stiffness(g.hi, D)
             K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
             cho = jax.scipy.linalg.cho_factor(K_free)
-            u_elast = adf.refine_elastic_solve_df(
-                g, cho, a["free_idx"], zero_u, rhs, shear, bulk
-            )
+            if resume is None:
+                u_elast = adf.refine_elastic_solve_df(
+                    g, cho, a["free_idx"], zero_u, rhs, shear, bulk
+                )
+            else:
+                u_elast = zero_u  # dead: resume supplies the carry
         else:
             from ..solve.cg import block_jacobi_preconditioner, solve_cg
 
@@ -522,9 +537,12 @@ def build_df32(cfg: TsxTunnelConfig):
                     structure=cfg.cg_structure,
                 ).x
 
-            u_elast = adf.refine_elastic_solve_with(
-                g, solve_fn, zero_u, rhs, shear, bulk
-            )
+            if resume is None:
+                u_elast = adf.refine_elastic_solve_with(
+                    g, solve_fn, zero_u, rhs, shear, bulk
+                )
+            else:
+                u_elast = zero_u  # dead: resume supplies the carry
 
         d_zeta = df_const(cfg.d_zeta)
         from ..ops.df32 import df_barrier, df_mul
@@ -549,11 +567,79 @@ def build_df32(cfg: TsxTunnelConfig):
             df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta, resume=resume
         )
 
+    if extras is not None and cfg.solver in ("cg", "mg"):
+        from ..ops.df32 import df_barrier as _dfb
+        from ..ops.df32 import df_mul as _dfm
+        from ..solve.cg import block_jacobi_preconditioner, solve_cg
+
+        def _geom(a):
+            return adf.GeometryDF(
+                hi=asm.Geometry(
+                    B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
+                    edofs_t=a["edofs_t"], n_nodes=n_nodes, n_q=n_q,
+                    n_real=n_real,
+                ),
+                B_lo=a["B_lo"], w_lo=a["w_lo"], gmap=a["gmap"],
+            )
+
+        def _pre_of(a, g, D):
+            if cfg.solver == "mg":
+                from ..solve import multigrid as mgm
+
+                mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
+                idx0 = a["free_idx0"]
+                coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
+                    jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
+                )
+                return mgm.make_vcycle(mg_levels, coarse, nu=2)
+            blocks = asm.node_block_diagonal(g.hi, D)
+            return block_jacobi_preconditioner(blocks, a["free_mask"])
+
+        @jax.jit
+        def predict_pass(a, u_hi, u_lo):
+            g = _geom(a)
+            n_int = g.hi.n_int
+            bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
+            f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+            rhs = DF(-f0.hi, -f0.lo)
+            if "f_ext_hi" in a:
+                from ..ops.df32 import df_add as _dfa
+
+                rhs = _dfa(rhs, DF(a["f_ext_hi"], a["f_ext_lo"]))
+            D = elastic_tangent_lanes(shear, bulk, n_int, f32)
+            pre = _pre_of(a, g, D)
+            u = DF(u_hi, u_lo)
+            from ..ops.df32 import df_add as _dfa2
+
+            r = _dfa2(
+                rhs,
+                DF(*map(jnp.negative, adf.elastic_apply_df(g, u, shear, bulk))),
+            )
+            du = solve_cg(
+                lambda v: asm.tangent_matvec(g.hi, D, v),
+                r.hi, a["free_mask"], precond=pre, tol=cg_tol,
+                maxiter=cfg.cg_maxiter, structure=cfg.cg_structure,
+            ).x
+            u = _dfa2(u, DF(du, jnp.zeros_like(du)))
+            return u.hi, u.lo
+
+        @jax.jit
+        def start_carry(a, u_hi, u_lo):
+            uit = _dfb(_dfm(DF(u_hi, u_lo), df_const(cfg.d_zeta)))
+            return uit.hi, uit.lo
+
+        extras["predict_pass"] = predict_pass
+        extras["start_carry"] = start_carry
+
     return run, args, mesh
 
 
 def build_df32_chunked(
-    cfg: TsxTunnelConfig, trips_per_chunk: int = 3, max_chunks: int = 200
+    cfg: TsxTunnelConfig,
+    trips_per_chunk: int = 3,
+    max_chunks: int = 200,
+    split_predictor: bool = False,
+    predictor_ir_iters: int = 4,
 ):
     """Build a resume-chunked df32 executor: returns (execute, mesh).
 
@@ -569,11 +655,32 @@ def build_df32_chunked(
     import dataclasses
 
     cfg2 = dataclasses.replace(cfg, max_trips=trips_per_chunk)
-    run, args, mesh = build_df32(cfg2)
+    extras: dict = {}
+    run, args, mesh = build_df32(cfg2, extras=extras)
     d_zeta_min = cfg.d_zeta * cfg.d_zeta_min_ratio
 
     def execute():
-        res = run(args)
+        if split_predictor:
+            # the elastic predictor runs as its own per-IR-pass dispatches
+            # (each a few seconds at level 5) and the stepper starts from
+            # a resume carry — no dispatch ever bundles predictor + trips
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from ..ops.df32 import DF as _DF
+
+            u_hi = _jnp.zeros((2 * mesh.n_nodes,), _jnp.float32)
+            u_lo = _jnp.zeros_like(u_hi)
+            for _ in range(predictor_ir_iters):
+                u_hi, u_lo = extras["predict_pass"](args, u_hi, u_lo)
+            uit_hi, uit_lo = extras["start_carry"](args, u_hi, u_lo)
+            resume0 = dict(
+                u_it=_DF(uit_hi, uit_lo),
+                u_old=_DF(-uit_hi, -uit_lo),
+            )
+            res = run(args, resume0)
+        else:
+            res = run(args)
         for _ in range(max_chunks):
             z = float(res.zeta.hi) + float(res.zeta.lo)
             dz = float(res.d_zeta.hi) + float(res.d_zeta.lo)

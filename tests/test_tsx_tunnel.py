@@ -111,6 +111,28 @@ class TestDf32FastPath:
         assert int(res.n_newton_total) == int(full.n_newton_total)
         np.testing.assert_array_equal(f64(res.u), f64(full.u))
 
+    def test_split_predictor_chunked_matches(self):
+        # split-predictor chunking (per-IR-pass dispatches + resume start)
+        # reproduces the single-dispatch field to the df32 floor — not
+        # bit-identical (separate dispatches fuse/round differently at the
+        # last bit, which can shift one Newton iteration), unlike the
+        # default chunk mode which is exact
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        cfg = TsxTunnelConfig.fast(solver="cg")
+        run, args, _ = tsx.build_df32(cfg)
+        full = run(args)
+        ex, _ = tsx.build_df32_chunked(
+            cfg, trips_per_chunk=3, split_predictor=True
+        )
+        res = ex()
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        assert int(res.n_steps) == int(full.n_steps)
+        a = f64(full.u)[80]
+        assert abs(f64(res.u)[80] - a) / abs(a) < 1e-12
+
     def test_p2_df32_cg_matches_native(self):
         # the df32 pipeline is element-generic (n_q > 1 quadrature
         # reduction in assembly_df): P2 truncated schedule matches the
