@@ -10,7 +10,6 @@ operator, so the full K never exists.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -664,7 +664,6 @@ def build_df32_chunked(
             # the elastic predictor runs as its own per-IR-pass dispatches
             # (each a few seconds at level 5) and the stepper starts from
             # a resume carry — no dispatch ever bundles predictor + trips
-            import jax as _jax
             import jax.numpy as _jnp
 
             from ..ops.df32 import DF as _DF

@@ -18,7 +18,7 @@ pathology — see ops/assembly.py).
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..mesh.midpoints import _edge_scan
 from ..ops import assembly as asm
-from ..ops.elements import ElementTables, ReferenceElement, tables
+from ..ops.elements import ElementTables
 
 
 class MGLevelArrays(NamedTuple):

@@ -13,7 +13,7 @@ server processes.
 from __future__ import annotations
 
 import pathlib
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

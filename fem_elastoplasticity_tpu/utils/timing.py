@@ -8,7 +8,6 @@ throughput accounting (GDOF/s), and an optional `jax.profiler` trace hook.
 from __future__ import annotations
 
 import contextlib
-import json
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
