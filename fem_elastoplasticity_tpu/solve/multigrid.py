@@ -210,14 +210,19 @@ def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
     """
 
     def smooth(lev: MGLevel, z, r):
-        for _ in range(nu):
+        # fori_loop shares one copy of the sweep body across nu sweeps —
+        # XLA:TPU generated-code size scales with mesh size per op
+        # instance, and the V-cycle instantiates smooth at two call sites
+        # per level (see solve_cg's code-size note)
+        def sweep(_, z):
             res = r - asm.tangent_matvec(lev.geom, lev.d, z)
             res = jnp.where(lev.free_flat, res, 0.0)
             dz = jnp.einsum(
                 "nij,nj->ni", lev.inv_blocks, res.reshape(-1, 2)
             ).reshape(-1)
-            z = z + jnp.where(lev.free_flat, dz, 0.0)
-        return z
+            return z + jnp.where(lev.free_flat, dz, 0.0)
+
+        return jax.lax.fori_loop(0, nu, sweep, z)
 
     def vcycle(li: int, r):
         lev = levels[li]

@@ -281,17 +281,18 @@ def build_load_stepper(
         return asm.internal_force(geom, s, axis_name=axis_name)
 
     def criterion_norms(dU, U_it):
-        # q1 = |dU|_K, q2 = |U_it|_K, q3 = |U_it + dU|_K with two matvecs:
-        # q3^2 = q2^2 + 2 dU.K.U_it + q1^2 (K_elast is symmetric)
-        KdU = elastic_apply(dU)
-        KU = elastic_apply(U_it)
+        # q1 = |dU|_K, q2 = |U_it|_K, q3 = |U_it + dU|_K with ONE batched
+        # matvec: q3^2 = q2^2 + 2 dU.K.U_it + q1^2 (K_elast is symmetric).
+        # vmap instantiates the elastic-apply program once for both
+        # vectors (TPU code-size, solve_cg note) and batches the lanes.
+        KdU, KU = jax.vmap(elastic_apply)(jnp.stack([dU, U_it], axis=0))
         q1sq = dU @ KdU
         q2sq = U_it @ KU
         cross = dU @ KU
         q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
         return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
 
-    def newton_solve(d, f_int, dU_prev, any_plastic):
+    def newton_solve(d, f_int, any_plastic):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
         d: (3, 3, n_int) consistent tangent.  Returns (dU, ok) — ok is
@@ -329,11 +330,13 @@ def build_load_stepper(
         else:
             blocks = asm.node_block_diagonal(geom, d, axis_name=axis_name)
             pre = block_jacobi_preconditioner(blocks, free_mask.reshape(-1, 2))
+        # no warm start: x0=None lets solve_cg skip the extra operator /
+        # preconditioner instantiations (TPU code-size, solve_cg note) —
+        # the tangent changes between Newton iterations anyway
         res = solve_cg(
             lambda v: asm.tangent_matvec(geom, d, v, axis_name=axis_name),
             -f_int,
             free_mask,
-            x0=dU_prev,
             precond=pre,
             tol=cg_tol,
             maxiter=cg_maxiter,
@@ -371,7 +374,7 @@ def build_load_stepper(
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
-            dU, ok = newton_solve(ds_rm, f_int, dU_prev, any_p)
+            dU, ok = newton_solve(ds_rm, f_int, any_p)
             U_new = (
                 df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
                 if df_mode
