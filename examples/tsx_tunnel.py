@@ -6,7 +6,9 @@ fast path, multi-chip sharding and mesh refinement.
 
     python examples/tsx_tunnel.py --etype P1 --draw
     python examples/tsx_tunnel.py --etype P4 --solver cg
-    python examples/tsx_tunnel.py --fast            # f32 + Pallas kernel
+    python examples/tsx_tunnel.py --fast            # df32 fast path
+    python examples/tsx_tunnel.py --fast --solver mg --refine 3   # 57k DOFs
+    python examples/tsx_tunnel.py --support 2.0     # 2 MPa tunnel support
     python examples/tsx_tunnel.py --devices 8       # shard_map over 8 chips
 """
 import argparse
@@ -20,8 +22,12 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--etype", default="P1", choices=["P1", "P2", "P4"])
     p.add_argument("--refine", type=int, default=0, help="uniform refinements")
-    p.add_argument("--solver", default="dense", choices=["dense", "cg"])
-    p.add_argument("--fast", action="store_true", help="f32 Pallas fast path")
+    p.add_argument("--solver", default="dense", choices=["dense", "cg", "mg"])
+    p.add_argument("--fast", action="store_true", help="df32 fast path")
+    p.add_argument(
+        "--support", type=float, default=0.0,
+        help="tunnel support pressure (MPa) on the wall (beyond-reference)",
+    )
     p.add_argument("--devices", type=int, default=0, help="shard over N devices")
     p.add_argument("--draw", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -42,6 +48,7 @@ def main():
         etype=ElementType[args.etype],
         refine_levels=args.refine,
         solver=args.solver,
+        support_pressure=args.support,
     )
     cfg = TsxTunnelConfig.fast(**kw) if args.fast else TsxTunnelConfig(**kw)
 
