@@ -659,8 +659,68 @@ def build_df32_chunked(
     run, args, mesh = build_df32(cfg2, extras=extras)
     d_zeta_min = cfg.d_zeta * cfg.d_zeta_min_ratio
 
-    def execute():
-        if split_predictor:
+    def _carry_of(res):
+        return dict(
+            u=res.u, u_old=res.u_old, u_it=res.u_it, ep=res.ep,
+            zeta_old=res.zeta, d_zeta=res.d_zeta,
+            d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
+            zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
+            nits_total=res.n_newton_total,
+        )
+
+    def _save_ckpt(path, carry):
+        import numpy as _np
+
+        from ..ops.df32 import DF as _DF
+
+        flat = {}
+        for k, v in carry.items():
+            if isinstance(v, _DF):
+                flat[k + "__hi"] = _np.asarray(v.hi)
+                flat[k + "__lo"] = _np.asarray(v.lo)
+            else:
+                flat[k] = _np.asarray(v)
+        _np.savez(str(path) + ".tmp.npz", **flat)
+        import os as _os
+
+        _os.replace(str(path) + ".tmp.npz", str(path))
+
+    def _load_ckpt(path):
+        import numpy as _np
+
+        from ..ops.df32 import DF as _DF
+
+        raw = _np.load(path)
+        carry = {}
+        for k in raw.files:
+            if k.endswith("__hi"):
+                base = k[:-4]
+                carry[base] = _DF(raw[k], raw[base + "__lo"])
+            elif not k.endswith("__lo"):
+                carry[k] = raw[k]
+        return carry
+
+    def execute(checkpoint_path=None):
+        """Run the chunked schedule.  With `checkpoint_path`, the carry is
+        written to disk after every chunk and an existing checkpoint is
+        resumed from — so a run interrupted by a device/worker crash (the
+        axon tunnel kills large-mesh runs stochastically) continues from
+        the last completed chunk on the next invocation, even in a fresh
+        process (failure recovery, SURVEY.md §5)."""
+        import os as _os
+
+        import jax as _jax
+
+        resume = None
+        if checkpoint_path is not None and _os.path.exists(checkpoint_path):
+            resume = _load_ckpt(checkpoint_path)
+
+        # every dispatch is synced before the next is enqueued: the axon
+        # tunnel chokes (worker crash) when several long device dispatches
+        # pile up in its queue, even though each runs fine individually
+        if resume is not None:
+            res = run(args, resume)
+        elif split_predictor:
             # the elastic predictor runs as its own per-IR-pass dispatches
             # (each a few seconds at level 5) and the stepper starts from
             # a resume carry — no dispatch ever bundles predictor + trips
@@ -672,7 +732,9 @@ def build_df32_chunked(
             u_lo = _jnp.zeros_like(u_hi)
             for _ in range(predictor_ir_iters):
                 u_hi, u_lo = extras["predict_pass"](args, u_hi, u_lo)
+                _jax.block_until_ready(u_hi)
             uit_hi, uit_lo = extras["start_carry"](args, u_hi, u_lo)
+            _jax.block_until_ready(uit_hi)
             resume0 = dict(
                 u_it=_DF(uit_hi, uit_lo),
                 u_old=_DF(-uit_hi, -uit_lo),
@@ -681,18 +743,15 @@ def build_df32_chunked(
         else:
             res = run(args)
         for _ in range(max_chunks):
+            _jax.block_until_ready(res.u.hi)
+            carry = _carry_of(res)
+            if checkpoint_path is not None:
+                _save_ckpt(checkpoint_path, carry)
             z = float(res.zeta.hi) + float(res.zeta.lo)
             dz = float(res.d_zeta.hi) + float(res.d_zeta.lo)
             if z >= cfg.zeta_max - 1e-12 or dz < d_zeta_min:
                 break
-            resume = dict(
-                u=res.u, u_old=res.u_old, u_it=res.u_it, ep=res.ep,
-                zeta_old=res.zeta, d_zeta=res.d_zeta,
-                d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
-                zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
-                nits_total=res.n_newton_total,
-            )
-            res = run(args, resume)
+            res = run(args, carry)
         return res
 
     return execute, mesh

@@ -111,6 +111,29 @@ class TestDf32FastPath:
         assert int(res.n_newton_total) == int(full.n_newton_total)
         np.testing.assert_array_equal(f64(res.u), f64(full.u))
 
+    def test_checkpointed_chunks_survive_interruption(self, tmp_path):
+        # chunked execution with a checkpoint path resumes bit-identically
+        # after an interruption — even in a fresh executor (the host-side
+        # npz carry round-trips the df32 pairs losslessly; failure
+        # recovery for tunnel-killed large-mesh runs)
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        cfg = TsxTunnelConfig.fast(solver="cg")
+        run, args, _ = tsx.build_df32(cfg)
+        full = run(args)
+        ck = str(tmp_path / "carry.npz")
+        ex1, _ = tsx.build_df32_chunked(cfg, trips_per_chunk=3, max_chunks=3)
+        r1 = ex1(checkpoint_path=ck)
+        assert int(r1.n_steps) < 17  # interrupted mid-schedule
+        ex2, _ = tsx.build_df32_chunked(cfg, trips_per_chunk=3)
+        r2 = ex2(checkpoint_path=ck)
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        assert int(r2.n_steps) == int(full.n_steps)
+        assert int(r2.n_newton_total) == int(full.n_newton_total)
+        np.testing.assert_array_equal(f64(r2.u), f64(full.u))
+
     def test_split_predictor_chunked_matches(self):
         # split-predictor chunking (per-IR-pass dispatches + resume start)
         # reproduces the single-dispatch field to the df32 floor — not
