@@ -200,6 +200,191 @@ def mg_levels_from_arrays(arrays, static) -> List[MGLevel]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# windowed-ELL multigrid (assembled operators; see ops/spmv.py)
+# ---------------------------------------------------------------------------
+def build_hierarchy_ell(
+    coords0: np.ndarray,
+    elems0: np.ndarray,
+    levels: int,
+    free_fn,
+    shear: float,
+    bulk: float,
+    ref,
+    omega: float = 0.7,
+):
+    """Host-side ELL multigrid build: red refinement + locality ordering.
+
+    Replaces the in-jit `build_mg_levels` path for large meshes: every
+    level's elastic operator, transfer operators and smoother blocks are
+    assembled ONCE on the host (numpy/scipy) and stored in windowed-ELL
+    form so the V-cycle never executes an XLA gather/scatter (the ~8
+    ns/element serialization documented in ops/spmv.py).
+
+    Node ordering: RCM on the coarsest mesh; each finer level is ordered
+    by its parents' coarse positions (stable argsort), which keeps BOTH
+    the operator bandwidth and the transfer windows small without
+    running RCM on million-node meshes.
+
+    Returns (arrays, metas, perms, coarse):
+      arrays[l]: dict(op=..., inv=(n_n,2,2) f32, free=(2n_n,) bool,
+                      P=..., R=... for l >= 1) — jit-argument pytrees
+      metas[l]:  dict(op=EllMeta, P=EllMeta, R=EllMeta) — static
+      perms[l]:  new_of_old node map of level l
+      coarse:    dict(cho0=(n_free0, n_free0) host Cholesky factor,
+                      free_idx0=(n_free0,) indices) for the direct solve
+    """
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from ..ops import spmv
+
+    chain = []
+    coords, elems = np.asarray(coords0, np.float64), np.asarray(elems0)
+    chain.append((coords, elems, None))
+    for _ in range(levels):
+        v = elems
+        directed = np.stack(
+            [v[:, [1, 2]], v[:, [2, 0]], v[:, [0, 1]]], axis=1
+        ).reshape(-1, 2)
+        first_pos, edge_id, _ = _edge_scan(directed)
+        owners = directed[first_pos]
+        mids = 0.5 * (coords[owners[:, 0]] + coords[owners[:, 1]])
+        coords_f = np.concatenate([coords, mids], axis=0)
+        n_c = coords.shape[0]
+        mid_nodes = (n_c + edge_id).reshape(-1, 3)
+        m23, m31, m12 = mid_nodes[:, 0], mid_nodes[:, 1], mid_nodes[:, 2]
+        v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+        children = np.stack(
+            [
+                np.stack([v0, m12, m31], axis=1),
+                np.stack([v1, m23, m12], axis=1),
+                np.stack([v2, m31, m23], axis=1),
+                np.stack([m12, m23, m31], axis=1),
+            ],
+            axis=1,
+        ).reshape(-1, 3)
+        chain.append((coords_f, children.astype(np.int64), owners))
+        coords, elems = coords_f, children
+
+    arrays, metas, perms = [], [], []
+    prev_new_of_old = None
+    prev_n = None
+    coarse = {}
+    for l, (c, e, par) in enumerate(chain):
+        n_n = c.shape[0]
+        if l == 0:
+            order = spmv.rcm_node_order(e, n_n)
+        else:
+            # order by parent position in the coarse level's ordering
+            key = np.empty(n_n, np.int64)
+            key[:prev_n] = prev_new_of_old * 2  # own nodes (even keys)
+            pa = prev_new_of_old[par[:, 0]]
+            pb = prev_new_of_old[par[:, 1]]
+            key[prev_n:] = pa + pb  # midpoints between their parents
+            order = np.argsort(key, kind="stable")
+        c2, e2, new_of_old = spmv.permute_mesh(c, e, order)
+        free2 = np.asarray(free_fn(c2))
+        opa, opm, K = spmv.build_ell_elastic(
+            c2, e2, ref, shear, bulk, free=free2, dtype=np.float32
+        )
+        blocks = spmv.diag_blocks_csr(K, n_n)
+        a_, b_, cc_, d_ = (
+            blocks[:, 0, 0], blocks[:, 0, 1], blocks[:, 1, 0], blocks[:, 1, 1]
+        )
+        det = a_ * d_ - b_ * cc_
+        inv = (
+            np.stack(
+                [np.stack([d_, -b_], -1), np.stack([-cc_, a_], -1)], -2
+            )
+            / det[:, None, None]
+        ) * omega
+        entry = dict(
+            op=opa,
+            inv=jnp.asarray(inv, jnp.float32),
+            free=jnp.asarray(free2.reshape(-1)),
+        )
+        meta = dict(op=opm)
+        if l == 0:
+            flat0 = free2.reshape(-1)
+            idx0 = np.nonzero(flat0)[0]
+            K0 = K[idx0][:, idx0].toarray()
+            c0, _ = sla.cho_factor(K0, lower=False)
+            coarse = dict(
+                cho0=jnp.asarray(c0, jnp.float32),
+                free_idx0=jnp.asarray(idx0.astype(np.int32)),
+            )
+        else:
+            o = order
+            isc = o < prev_n
+            safe = np.maximum(o - prev_n, 0)
+            pa2 = np.where(isc, prev_new_of_old[np.minimum(o, prev_n - 1)],
+                           prev_new_of_old[par[safe, 0]])
+            pb2 = np.where(isc, pa2, prev_new_of_old[par[safe, 1]])
+            rows = np.arange(n_n)
+            rP, cP, vP = [], [], []
+            for d in range(2):
+                rP.append(2 * rows + d)
+                cP.append(2 * pa2 + d)
+                vP.append(np.full(n_n, 0.5))
+                rP.append(2 * rows + d)
+                cP.append(2 * pb2 + d)
+                vP.append(np.full(n_n, 0.5))
+            P = sp.coo_matrix(
+                (np.concatenate(vP), (np.concatenate(rP), np.concatenate(cP))),
+                shape=(2 * n_n, 2 * prev_n),
+            ).tocsr()
+            P.sum_duplicates()
+            entry["P"], meta["P"] = spmv.build_ell(P, np.float32)
+            R = P.T.tocsr()
+            R.sum_duplicates()
+            entry["R"], meta["R"] = spmv.build_ell(R, np.float32)
+        arrays.append(entry)
+        metas.append(meta)
+        perms.append(new_of_old)
+        prev_new_of_old, prev_n = new_of_old, n_n
+    return arrays, metas, perms, coarse
+
+
+def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
+    """ELL V-cycle: returns pre(arrays, r) with `arrays` a jit argument.
+
+    Same cycle structure as `make_vcycle` but every operator application
+    is a windowed-ELL Pallas matvec (`ops.spmv.ell_matvec`).
+    """
+    from ..ops import spmv
+
+    top = len(metas) - 1
+
+    def smooth(arr, meta, z, r):
+        def sweep(_, z):
+            res = r - spmv.ell_matvec(arr["op"], meta["op"], z)
+            res = jnp.where(arr["free"], res, 0.0)
+            dz = jnp.einsum(
+                "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
+            ).reshape(-1)
+            return z + jnp.where(arr["free"], dz, 0.0)
+
+        return jax.lax.fori_loop(0, nu, sweep, z)
+
+    def vcycle(arrays, li, r):
+        arr, meta = arrays[li], metas[li]
+        r = jnp.where(arr["free"], r, 0.0)
+        if li == 0:
+            return jnp.where(arr["free"], coarse_solve(r), 0.0)
+        z = smooth(arr, meta, jnp.zeros_like(r), r)
+        res = r - spmv.ell_matvec(arr["op"], meta["op"], z)
+        res = jnp.where(arr["free"], res, 0.0)
+        r_c = spmv.ell_matvec(arr["R"], meta["R"], res)
+        z_c = vcycle(arrays, li - 1, r_c)
+        z = z + jnp.where(
+            arr["free"], spmv.ell_matvec(arr["P"], meta["P"], z_c), 0.0
+        )
+        return smooth(arr, meta, z, r)
+
+    return lambda arrays, r: vcycle(arrays, top, r)
+
+
 def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
     """V-cycle preconditioner application r -> z (approximate K^{-1} r).
 
