@@ -16,12 +16,13 @@ import json
 import time
 
 
-def main() -> None:
+def main(fast: bool = True) -> None:
     from ..models.config import TsxTunnelConfig
     from ..models.tsx_tunnel import solve
     from ..ops.elements import ElementType
 
-    cfg = TsxTunnelConfig(etype=ElementType.P4, solver="cg")
+    kw = dict(etype=ElementType.P4, solver="cg")
+    cfg = TsxTunnelConfig.fast(**kw) if fast else TsxTunnelConfig(**kw)
     t0 = time.perf_counter()
     r = solve(cfg)
     wall = time.perf_counter() - t0
@@ -32,6 +33,7 @@ def main() -> None:
                 "metric": "tsx_tunnel_p4_full_schedule_wall",
                 "value": wall,
                 "unit": "s",
+                "path": "df32_cg" if fast else "native_cg",
                 "n_steps": r.n_steps,
                 "n_newton_total": r.n_newton_total,
                 "n_plastic": r.n_plastic,
@@ -42,4 +44,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(fast="--native" not in sys.argv)
