@@ -117,6 +117,55 @@ def _bench_matvec_utilization(jax, np):
     return gdof_s, hbm_frac
 
 
+def _bench_ell_matvec(jax, np):
+    """Assembled windowed-ELL elastic K*u at level 4 (the production
+    operator for large-mesh solves, ops/spmv.py): GDOF/s + HBM fraction
+    from the actual operator array traffic."""
+    import time
+
+    import jax.numpy as jnp
+
+    from fem_elastoplasticity_tpu.mesh.refine import refine_uniform
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+    from fem_elastoplasticity_tpu.models.materials import lame_moduli
+    from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+    from fem_elastoplasticity_tpu.ops import spmv
+    from fem_elastoplasticity_tpu.ops.elements import ElementType, volume_element
+
+    cfg = TsxTunnelConfig()
+    mesh = tsx_mesh(ElementType.P1, 4)
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    order = spmv.rcm_node_order(np.asarray(mesh.elems), mesh.n_nodes)
+    c2, e2, _ = spmv.permute_mesh(
+        np.asarray(mesh.coords), np.asarray(mesh.elems), order
+    )
+    arrays, meta, _ = spmv.build_ell_elastic(c2, e2, ref, shear, bulk)
+    v = jnp.ones((meta.n2,), jnp.float32)
+    n_iters = 50
+
+    @jax.jit
+    def apply_n(arrays, v):
+        def body(_, x):
+            w = spmv.ell_matvec(arrays, meta, x)
+            return w / (1.0 + jnp.abs(w).max())
+
+        return jax.lax.fori_loop(0, n_iters, body, v)
+
+    float(np.asarray(apply_n(arrays, v))[0])  # compile + sync
+    t0 = time.perf_counter()
+    float(np.asarray(apply_n(arrays, v))[0])
+    wall = (time.perf_counter() - t0) / n_iters
+
+    gdof_s = meta.n2 / wall / 1e9
+    traffic = (
+        arrays["li"].size * 4
+        + arrays["vals"].size * 4
+        + 2 * meta.n2 * 4  # input read + output write
+    )
+    return gdof_s, (traffic / wall) / V5E_HBM_BYTES_S
+
+
 def main() -> None:
     import jax
     import numpy as np
@@ -125,6 +174,7 @@ def main() -> None:
 
     wall, rel_err = _bench_solve(jax, np)
     gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
+    ell_gdof_s, ell_hbm_frac = _bench_ell_matvec(jax, np)
 
     print(
         json.dumps(
@@ -137,6 +187,8 @@ def main() -> None:
                 "rel_err_vs_f64_trajectory": rel_err,
                 "gdof_per_s_matvec_l4": gdof_s,
                 "hbm_utilization_matvec_l4": hbm_frac,
+                "gdof_per_s_ell_matvec_l4": ell_gdof_s,
+                "hbm_utilization_ell_matvec_l4": ell_hbm_frac,
             }
         )
     )

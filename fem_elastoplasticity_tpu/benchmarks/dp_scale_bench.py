@@ -46,7 +46,7 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
         cfg = (
             TsxTunnelConfig.fast_scale(level)
             if level >= 4
-            else TsxTunnelConfig.fast(solver="mg", refine_levels=level)
+            else TsxTunnelConfig.fast(solver="ell", refine_levels=level)
         )
         # levels >= 4 run the load loop in resume-chunked dispatches
         # (trajectory-identical, tested): the axon tunnel aborts single
@@ -85,8 +85,11 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
                 walls.append(time.perf_counter() - t0)
             wall = float(np.median(walls))
 
-        u40 = float(np.asarray(res.u.hi, np.float64)[80]) + float(
-            np.asarray(res.u.lo, np.float64)[80]
+        # monitored tunnel-wall u_x at the last accepted step — the
+        # stepper's monitor uses the (possibly ELL-permuted) node id
+        k = int(res.n_steps) - 1
+        u40 = float(np.asarray(res.monitor_hist.hi, np.float64)[k]) + float(
+            np.asarray(res.monitor_hist.lo, np.float64)[k]
         )
         rec = {
             "level": level,

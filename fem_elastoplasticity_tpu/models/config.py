@@ -111,7 +111,10 @@ class TsxTunnelConfig:
     max_trips: int = 10000
     monitor_node: int = 40  # tunnel-wall node whose u_x is recorded (T:1813)
     refine_levels: int = 0  # uniform refinements of the P1 mesh before promote
-    solver: str = "dense"  # "dense" | "cg" | "mg" (mg: P1 + refine_levels>0)
+    # "dense" | "cg" | "mg" | "ell" (mg/ell: P1 + refine_levels>0; ell =
+    # assembled windowed-ELL multigrid, ops/spmv.py — the problem is
+    # permuted onto a locality node ordering, result mesh/u included)
+    solver: str = "dense"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # iterative tangent solves (solver="cg"/"mg"); cg_tol None resolves to
     # 1e-14 (native f64) / 2e-7 (df32 — the f32 PCG residual floor; the
@@ -163,8 +166,10 @@ class TsxTunnelConfig:
         trajectory-identical digits vs tol 2e-7 at level 2) — ~8 PCG
         iterations per tangent solve instead of 40+, keeping per-dispatch
         runtime under the axon tunnel's long-dispatch abort when combined
-        with `run_df32_chunked` (benchmarks/dp_scale_bench.py)."""
-        kw.setdefault("solver", "mg")
+        with `run_df32_chunked` (benchmarks/dp_scale_bench.py).  The
+        V-cycle runs on assembled windowed-ELL operators (solver="ell",
+        ops/spmv.py) — pass solver="mg" for the matrix-free variant."""
+        kw.setdefault("solver", "ell")
         kw.setdefault("cg_tol", 1e-5)
         kw.setdefault("cg_maxiter", 200)
         return cls.fast(refine_levels=refine_levels, **kw)

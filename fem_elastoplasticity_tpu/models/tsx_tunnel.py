@@ -343,20 +343,62 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
     from ..solve.newton import NewtonSettings, build_load_stepper
     from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
-    assert cfg.solver in ("dense", "cg", "mg"), cfg.solver
+    assert cfg.solver in ("dense", "cg", "mg", "ell"), cfg.solver
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
     s0, e0 = initial_state(cfg)
 
     ref = volume_element(cfg.etype)
+    monitor_node = cfg.monitor_node
+    ell = None
+    if cfg.solver == "ell":
+        # Windowed-ELL multigrid (ops/spmv.py): the elastic hierarchy is
+        # assembled host-side with locality node ordering, and the WHOLE
+        # problem is permuted onto that ordering (coords/elems/free/
+        # monitor) so the V-cycle never touches a permutation gather.
+        assert cfg.etype == ElementType.P1 and cfg.refine_levels >= 1, (
+            "ell solver requires P1 with refine_levels >= 1"
+        )
+        from ..ops import spmv
+        from ..solve import multigrid as mgm
+
+        raw = np.load(_DATA)
+
+        def _free_of(cc):
+            fr = np.ones((cc.shape[0], 2), dtype=bool)
+            fr[np.abs(cc[:, 0]) > 49.99, 0] = False
+            fr[np.abs(cc[:, 1]) > 49.99, 1] = False
+            return fr
+
+        mg_arr_ell, mg_metas_ell, perms, coarse_ell = mgm.build_hierarchy_ell(
+            raw["coords"].astype(np.float64), raw["elems"],
+            cfg.refine_levels, _free_of, shear, bulk, ref,
+        )
+        order = np.argsort(np.asarray(perms[-1]), kind="stable")
+        coords2, elems2, new_of_old = spmv.permute_mesh(
+            np.asarray(mesh.coords, np.float64), np.asarray(mesh.elems),
+            order,
+        )
+        free2 = _free_of(coords2)
+        mesh = Mesh(
+            coords2, elems2, cfg.etype,
+            dirichlet=np.zeros_like(coords2), free=free2,
+        )
+        monitor_node = int(new_of_old[cfg.monitor_node])
+        ell = dict(metas=mg_metas_ell, new_of_old=new_of_old)
+        if extras is not None:
+            # node map for callers that need reference ordering back:
+            # u_orig[old] = u_perm[new_of_old[old]]  (element order is
+            # unchanged — permute_mesh remaps node ids only)
+            extras["ell_new_of_old"] = new_of_old
     fmap_np, n_free = asm.free_dof_map(mesh.free)
-    free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+    free_idx = jnp.asarray(np.nonzero(np.asarray(mesh.free).reshape(-1))[0])
     fmap = jnp.asarray(fmap_np)
 
     gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
     n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
-    monitor_dof = 2 * cfg.monitor_node
+    monitor_dof = 2 * monitor_node
     f32 = jnp.float32
 
     settings = NewtonSettings(
@@ -387,8 +429,12 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         ),
     )
     cg_tol = cfg.cg_tol if cfg.cg_tol is not None else 2e-7
-    if cfg.solver in ("cg", "mg"):
+    if cfg.solver in ("cg", "mg", "ell"):
         args["free_mask"] = jnp.asarray(mesh.free)
+    if cfg.solver == "ell":
+        args["mg_ell"] = mg_arr_ell
+        args["cho0"] = coarse_ell["cho0"]
+        args["free_idx0"] = coarse_ell["free_idx0"]
     if cfg.support_pressure != 0.0:
         # setup-time f64 traction on host CPU, split exactly into a DF pair
         from ..ops.elements import surface_element
@@ -496,6 +542,16 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             ke = asm.element_stiffness(g.hi, D)
             K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
             cho = jax.scipy.linalg.cho_factor(K_free)
+            # explicit elastic inverse (Jacobi-scaled for f32 conditioning):
+            # elastic Newton iterations become ONE MXU matmul instead of two
+            # row-serial triangular solves (~81 us saved each at n=908)
+            dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
+            Ks = K_free * dsc[:, None] * dsc[None, :]
+            cho_s = jax.scipy.linalg.cho_factor(Ks)
+            Ki = jax.scipy.linalg.cho_solve(
+                cho_s, jnp.eye(n_free, dtype=K_free.dtype)
+            )
+            Ki = Ki * dsc[:, None] * dsc[None, :]
             if resume is None:
                 u_elast = adf.refine_elastic_solve_df(
                     g, cho, a["free_idx"], zero_u, rhs, shear, bulk
@@ -521,6 +577,19 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                     )
 
                 mg_pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=2)
+                pre = mg_pre
+            elif cfg.solver == "ell":
+                from ..solve import multigrid as mgm
+
+                idx0 = a["free_idx0"]
+
+                def coarse_solve(r):
+                    return jnp.zeros_like(r).at[idx0].set(
+                        jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
+                    )
+
+                vc = mgm.make_vcycle_ell(ell["metas"], coarse_solve, nu=2)
+                mg_pre = lambda r: vc(a["mg_ell"], r)
                 pre = mg_pre
             else:
                 blocks = asm.node_block_diagonal(g.hi, D)
@@ -552,12 +621,12 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             settings,
             e0_dir=DF(a["e0_hi"], a["e0_lo"]),
             monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
-            solver=cfg.solver,
+            solver=("mg" if cfg.solver == "ell" else cfg.solver),
             cg_tol=cg_tol,
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
             mg_preconditioner=mg_pre,
-            elastic_factor=cho,
+            elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             precision="df32",
             pin_zeros=a["pinz"],
             accumulate_ep=not cfg.bug_compatible_ep_reset,
@@ -567,7 +636,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta, resume=resume
         )
 
-    if extras is not None and cfg.solver in ("cg", "mg"):
+    if extras is not None and cfg.solver in ("cg", "mg", "ell"):
         from ..ops.df32 import df_barrier as _dfb
         from ..ops.df32 import df_mul as _dfm
         from ..solve.cg import block_jacobi_preconditioner, solve_cg
@@ -583,14 +652,17 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             )
 
         def _pre_of(a, g, D):
-            if cfg.solver == "mg":
+            if cfg.solver in ("mg", "ell"):
                 from ..solve import multigrid as mgm
 
-                mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
                 idx0 = a["free_idx0"]
                 coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                     jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                 )
+                if cfg.solver == "ell":
+                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=2)
+                    return lambda r: vc(a["mg_ell"], r)
+                mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
                 return mgm.make_vcycle(mg_levels, coarse, nu=2)
             blocks = asm.node_block_diagonal(g.hi, D)
             return block_jacobi_preconditioner(blocks, a["free_mask"])
@@ -774,11 +846,19 @@ def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
     on the host from the hi/lo pairs — no f64 op ever enters the TPU
     program (the axon runtime degrades on in-loop f64; BENCH_NOTES.md).
     """
-    run, args, mesh = build_df32(cfg)
+    extras: dict = {}
+    run, args, mesh = build_df32(cfg, extras=extras)
     res = run(args)
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    u = f64(res.u).reshape(-1, 2)
+    if "ell_new_of_old" in extras:
+        # restore the reference node ordering (the ell solver permutes the
+        # problem onto a locality ordering; ep is element-ordered and
+        # unaffected)
+        u = u[extras["ell_new_of_old"]]
+        mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     return TsxResult(
-        u=f64(res.u).reshape(-1, 2),
+        u=u,
         ep=f64(res.ep),
         zeta_hist=np.asarray(res.zeta_hist, np.float64),
         displ_hist=f64(res.monitor_hist),

