@@ -41,6 +41,11 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
     from ..models import tsx_tunnel as tsx
     from ..models.config import TsxTunnelConfig
 
+    def _sync(res):
+        # block_until_ready does not reliably block through the axon
+        # tunnel; force a host fetch
+        float(np.asarray(res.u.hi[0]))
+
     results = []
     for level in levels:
         cfg = (
@@ -59,14 +64,14 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
 
             t0 = time.perf_counter()
             res = execute()
-            jax.block_until_ready(res.u.hi)
+            _sync(res)
             t_first = time.perf_counter() - t0
 
             walls = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 res = execute()
-                jax.block_until_ready(res.u.hi)
+                _sync(res)
                 walls.append(time.perf_counter() - t0)
             wall = float(np.median(walls)) if walls else t_first
         else:
@@ -75,13 +80,15 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
             t_setup = time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            res = jax.block_until_ready(run(args))
+            res = run(args)
+            _sync(res)
             t_first = time.perf_counter() - t0  # compile + first execution
 
             walls = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                res = jax.block_until_ready(run(args))
+                res = run(args)
+                _sync(res)
                 walls.append(time.perf_counter() - t0)
             wall = float(np.median(walls))
 

@@ -26,16 +26,32 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
 
     import jax
 
-    # pure-f32 preset: the ensemble stepper is the native (Pallas) path;
-    # the df32 fast preset is the single-solve accuracy path
+    def sync(res):
+        # block_until_ready does not reliably block through the axon
+        # tunnel; force a host fetch
+        float(np.asarray(res.u)[0, 0, 0])
+        return res
+
+    # pure-f32 preset: the ensemble stepper is the native (Pallas) path
     cfg = TsxTunnelConfig.fast_f32()
     t0 = time.perf_counter()
-    res = jax.block_until_ready(solve_tsx_ensemble(eta, c, cfg))
+    res = sync(solve_tsx_ensemble(eta, c, cfg))
     first = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = jax.block_until_ready(solve_tsx_ensemble(eta, c, cfg))
+    res = sync(solve_tsx_ensemble(eta, c, cfg))
     warm = time.perf_counter() - t0
+
+    # df32 preset: every member an f64-grade (1e-12/1e-10 criteria) solve
+    from ..parallel.ensemble import solve_tsx_ensemble_df32
+
+    t0 = time.perf_counter()
+    res_df = sync(solve_tsx_ensemble_df32(eta, c))
+    first_df = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res_df = sync(solve_tsx_ensemble_df32(eta, c))
+    warm_df = time.perf_counter() - t0
 
     rec = {
         "ensemble_size": int(n_b),
@@ -45,6 +61,12 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
         "vs_serial_reference": n_b * REFERENCE_SOLVE_S / warm,
         "min_steps": int(np.asarray(res.n_steps).min()),
         "max_steps": int(np.asarray(res.n_steps).max()),
+        "df32_first_wall_s": first_df,
+        "df32_warm_wall_s": warm_df,
+        "df32_solves_per_s": n_b / warm_df,
+        "df32_vs_serial_reference": n_b * REFERENCE_SOLVE_S / warm_df,
+        "df32_min_steps": int(np.asarray(res_df.n_steps).min()),
+        "df32_max_steps": int(np.asarray(res_df.n_steps).max()),
     }
     if verbose:
         print(json.dumps(rec), flush=True)

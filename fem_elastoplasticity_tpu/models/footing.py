@@ -250,6 +250,14 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         ke = asm.element_stiffness(g.hi, D)
         K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
+        # explicit Jacobi-scaled elastic inverse: elastic Newton iterations
+        # as one MXU matmul (see models/tsx_tunnel.py build_df32)
+        dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
+        Ks = K_free * dsc[:, None] * dsc[None, :]
+        Ki = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Ks), jnp.eye(n_free, dtype=f32)
+        )
+        Ki = Ki * dsc[:, None] * dsc[None, :]
         zero_f = DF(
             jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
         )
@@ -281,7 +289,7 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
             accept_hook=accept_hook,
             solver="dense",
             apex_ep_uses_trial=cfg.bug_compatible_apex,
-            elastic_factor=cho,
+            elastic_factor=("inv", Ki),
             precision="df32",
             pin_zeros=a["pinz"],
         )

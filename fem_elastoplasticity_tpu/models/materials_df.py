@@ -92,6 +92,47 @@ def _consts(shear: float, bulk: float, eta: float, c: float, like) -> _Consts:
     )
 
 
+def consts_host(shear, bulk, eta, c) -> _Consts:
+    """Host-side f64 material constants as DF arrays (jit arguments).
+
+    `eta`/`c` may be numpy arrays (material ensembles): every leaf is
+    broadcast to their common shape so the whole _Consts pytree can be
+    `vmap`-ed over a leading member axis uniformly.  Passing constants as
+    runtime arguments also sidesteps both df32 hazards (literals invite
+    reassociation; embedded array constants trigger the axon pathology).
+    """
+    import numpy as np
+
+    eta = np.asarray(eta, np.float64)
+    c = np.asarray(c, np.float64)
+    shape = np.broadcast(eta, c).shape
+    denom_a = bulk * eta * eta
+
+    def d(v):
+        v = np.broadcast_to(np.asarray(v, np.float64), shape)
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+    return _Consts(
+        two_g=d(2.0 * shear + 0.0 * eta),
+        bulk=d(bulk + 0.0 * eta),
+        eta=d(eta),
+        c=d(c),
+        denom_s=d(shear + denom_a),
+        inv_denom_s=d(1.0 / (shear + denom_a)),
+        inv_denom_a=d(1.0 / denom_a),
+        crit2_k=d(denom_a / (shear * SQRT2)),
+        sqrt2_g=d(SQRT2 * shear + 0.0 * eta),
+        bulk_eta=d(bulk * eta),
+        apex=d(c / eta),
+        apex_shift=d(c / (3.0 * bulk * eta)),
+        eta_third=d(eta / 3.0),
+        inv_sqrt2=d(1.0 / SQRT2 + 0.0 * eta),
+        third=d(1.0 / 3.0 + 0.0 * eta),
+    )
+
+
 def dp_return_map_lanes_df(
     e3: DF,
     ep_prev: DF,
@@ -102,16 +143,19 @@ def dp_return_map_lanes_df(
     e0: Optional[DF] = None,
     apply_plastic_strain: bool = False,
     apex_ep_uses_trial: bool = False,
+    consts: Optional[_Consts] = None,
 ):
     """Lane-major DP return map in double-float.
 
     Args mirror `dp_return_map_lanes`: e3 DF(3, n), ep_prev DF(4, n),
     e0 optional DF(4,) or DF(4, n).  Returns
     (s DF(4, n), ds f32 (3, 3, n), ind_p (n,), lam_hi (n,), ep DF(4, n)).
+    `consts` overrides the literal-derived constants with traced DF
+    scalars (`consts_host` — material ensembles under vmap).
     """
     n = e3.hi.shape[1]
     like = e3.hi[0]
-    k = _consts(shear, bulk, eta, c, like)
+    k = consts if consts is not None else _consts(shear, bulk, eta, c, like)
     zero = jnp.zeros((n,), jnp.float32)
     zdf = DF(zero, zero)
 
@@ -191,7 +235,9 @@ def dp_return_map_lanes_df(
         np.float32(2.0 * SQRT2 * shear * shear) * lam_s.hi / safe_rho,
         0.0,
     )
-    ms = jnp.where(ind_s, np.float32(1.0 / (shear + bulk * eta * eta)), 0.0)
+    # 1/(G + K eta^2) from the consts (k.eta may be a traced ensemble
+    # member; the literal `eta` is unused when consts is supplied)
+    ms = jnp.where(ind_s, k.inv_denom_s.hi, np.float32(0.0))
     e_diag = np.float32(4.0 * shear / 3.0 + bulk)
     e_off = np.float32(-2.0 * shear / 3.0 + bulk)
     d00 = e_diag - ca * (np.float32(2.0 / 3.0) - n0 * n0) - m0 * m0 * ms

@@ -144,6 +144,134 @@ def solve_tsx_ensemble(
     return _package(res)
 
 
+def solve_tsx_ensemble_df32(
+    etas: np.ndarray,
+    cs: np.ndarray,
+    cfg: TsxTunnelConfig = None,
+) -> EnsembleResult:
+    """Batch of f64-grade (double-float) tsx solves over DP parameters.
+
+    Same batching as `solve_tsx_ensemble`, but each member runs the df32
+    fast path (`solve/newton.py` precision="df32"): residual/criterion/
+    state in two-f32 pairs, so every member follows the reference's
+    1e-12/1e-10 f64 stopping behavior — n_b f64-grade solves at f32
+    ensemble speed.  Material constants are computed host-side in f64 and
+    enter as vmapped DF arguments (`materials_df.consts_host`).
+    """
+    from ..models import materials_df as mdf
+    from ..models.tsx_tunnel import _DATA  # noqa: F401  (package data)
+    from ..ops import assembly_df as adf
+    from ..ops.df32 import DF, df_const
+
+    cfg = cfg if cfg is not None else TsxTunnelConfig.fast()
+    assert cfg.precision == "df32" and cfg.solver == "dense"
+    key = ("df32", cfg)
+    etas = np.asarray(etas, np.float64)
+    cs = np.asarray(cs, np.float64)
+    if key in _RUN_CACHE:
+        run, args, shear, bulk = _RUN_CACHE[key]
+    else:
+        mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+        shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+        s0, e0 = initial_state(cfg)
+        ref = volume_element(cfg.etype)
+        fmap_np, n_free = asm.free_dof_map(mesh.free)
+        free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
+        gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+        n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
+        monitor_dof = 2 * cfg.monitor_node
+        f32 = jnp.float32
+
+        settings = NewtonSettings(
+            maxit=cfg.newton_maxit,
+            newton_tol=cfg.newton_tol,
+            accept_tol=cfg.accept_tol,
+            d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+            zeta_max=cfg.zeta_max,
+            max_steps=cfg.max_steps,
+            step0=0,
+        )
+        s0_hi, s0_lo = adf.split_f64_np(s0)
+        e0_hi, e0_lo = adf.split_f64_np(e0)
+        args = dict(
+            B_hi=gdf.hi.B, w_hi=gdf.hi.weight,
+            edofs=gdf.hi.edofs, edofs_t=gdf.hi.edofs_t,
+            B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap,
+            fmap=jnp.asarray(fmap_np), free_idx=free_idx,
+            s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
+            e0_hi=jnp.asarray(e0_hi), e0_lo=jnp.asarray(e0_lo),
+            pinz=jnp.zeros((max(4 * gdf.hi.n_int, 2 * n_nodes),), f32),
+        )
+
+        @jax.jit
+        def run(a, consts):
+            g = adf.GeometryDF(
+                hi=asm.Geometry(
+                    B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
+                    edofs_t=a["edofs_t"], n_nodes=n_nodes, n_q=n_q,
+                    n_real=n_real,
+                ),
+                B_lo=a["B_lo"], w_lo=a["w_lo"], gmap=a["gmap"],
+            )
+            n_int = g.hi.n_int
+            bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
+            f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+            rhs = DF(-f0.hi, -f0.lo)
+
+            D = elastic_tangent_lanes(shear, bulk, n_int, f32)
+            ke = asm.element_stiffness(g.hi, D)
+            K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
+            Ks = K_free * dsc[:, None] * dsc[None, :]
+            Ki = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Ks),
+                jnp.eye(n_free, dtype=f32),
+            )
+            Ki = Ki * dsc[:, None] * dsc[None, :]
+            zero_u = DF(
+                jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
+            )
+            u_elast = adf.refine_elastic_solve_df(
+                g, cho, a["free_idx"], zero_u, rhs, shear, bulk
+            )
+            d_zeta = df_const(cfg.d_zeta)
+            from ..ops.df32 import df_barrier, df_mul
+
+            U_it0 = df_barrier(df_mul(u_elast, d_zeta))
+
+            def one(member_consts):
+                stepper = build_load_stepper(
+                    g, a["free_idx"], a["fmap"], n_free, shear, bulk,
+                    0.0, 0.0, settings,
+                    e0_dir=DF(a["e0_hi"], a["e0_lo"]),
+                    monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
+                    solver="dense",
+                    elastic_factor=("inv", Ki),
+                    precision="df32",
+                    pin_zeros=a["pinz"],
+                    accumulate_ep=not cfg.bug_compatible_ep_reset,
+                    df_consts=member_consts,
+                )
+                return stepper(U_it0, 0.0, d_zeta)
+
+            return jax.vmap(one)(consts)
+
+        _RUN_CACHE[key] = (run, args, shear, bulk)
+
+    consts = mdf.consts_host(shear, bulk, etas, cs)
+    res = run(args, consts)
+    f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    return EnsembleResult(
+        u=f64(res.u).reshape(etas.shape[0], -1, 2),
+        zeta_hist=np.asarray(res.zeta_hist, np.float64),
+        monitor_hist=f64(res.monitor_hist),
+        n_steps=np.asarray(res.n_steps),
+        n_newton_total=np.asarray(res.n_newton_total),
+        n_plastic=np.asarray(res.n_plastic),
+    )
+
+
 def _package(res) -> EnsembleResult:
     return EnsembleResult(
         u=res.u.reshape(res.u.shape[0], -1, 2),

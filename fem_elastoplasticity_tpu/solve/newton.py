@@ -144,6 +144,7 @@ def build_load_stepper(
     pin_zeros=None,
     accumulate_ep: bool = True,
     f_ext_dir=None,
+    df_consts=None,
 ):
     """Build the jittable load-stepping driver.
 
@@ -190,6 +191,10 @@ def build_load_stepper(
                   every step (`tsx-tunnel/pythonFEM.py:1808-1809`) —
                   reference defect #3-bis, PARITY.md.  Affects the plastic
                   tail at ~1.5e-7 relative on the tsx parity mesh.
+      df_consts:  df32 only — a `materials_df._Consts` pytree of traced DF
+                  scalars overriding the literal-derived material
+                  constants (vmapped material ensembles;
+                  `materials_df.consts_host`).  eta/c are ignored then.
       f_ext_dir:  optional (2*n_n,) external load direction ramped with
                   the load factor: the Newton residual becomes
                   F_int(u) - zeta * f_ext_dir (e.g. a tunnel support
@@ -234,6 +239,7 @@ def build_load_stepper(
                 e, ep, shear, bulk, eta, c, e0=e0,
                 apply_plastic_strain=apply,
                 apex_ep_uses_trial=apex_ep_uses_trial,
+                consts=df_consts,
             )
         e = asm.strains(geom, u_flat)  # (3, n_int) lane-major
         e0 = None if e0_dir is None else zeta * e0_dir

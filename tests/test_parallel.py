@@ -59,3 +59,26 @@ class TestEnsemble:
         assert abs(float(ens.monitor_hist[0, 16])) >= abs(
             float(ens.monitor_hist[1, 16])
         )
+
+
+class TestEnsembleDf32:
+    def test_member_matches_single_df32_solve(self):
+        """Each df32 ensemble member is an f64-grade solve: the reference
+        material reproduces the single df32 solve bit-for-bit (17/28
+        trajectory, exact u40)."""
+        from fem_elastoplasticity_tpu.parallel.ensemble import (
+            solve_tsx_ensemble_df32,
+        )
+
+        eta, c = material_grid(
+            np.array([18.7, 25.0]), np.array([49.0 * np.pi / 180])
+        )
+        ens = solve_tsx_ensemble_df32(eta, c)
+        ref = solve(TsxTunnelConfig.fast())
+        assert int(ens.n_steps[0]) == 17
+        assert int(ens.n_newton_total[0]) == ref.n_newton_total
+        np.testing.assert_allclose(
+            np.asarray(ens.u[0]), np.asarray(ref.u), rtol=0, atol=1e-15
+        )
+        # stiffer member stays elastic
+        assert int(ens.n_plastic[1]) == 0
