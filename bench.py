@@ -43,7 +43,7 @@ def _bench_solve(jax, np):
     run, args, mesh = tsx.build_df32(cfg)
 
     # warmup + correctness gate
-    res = jax.block_until_ready(run(args))
+    res = run(args)
     u40 = float(np.asarray(res.u.hi, np.float64)[2 * cfg.monitor_node]) + float(
         np.asarray(res.u.lo, np.float64)[2 * cfg.monitor_node]
     )
@@ -57,7 +57,10 @@ def _bench_solve(jax, np):
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(args))
+        res = run(args)
+        # block_until_ready does not reliably block through the axon
+        # tunnel; force a device->host fetch of the monitored DOF
+        float(np.asarray(res.u.hi[2 * cfg.monitor_node]))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), rel_err
 
@@ -102,9 +105,9 @@ def _bench_matvec_utilization(jax, np):
 
         return jax.lax.fori_loop(0, n_iters, body, a["u"])
 
-    jax.block_until_ready(apply_n(args))  # compile
+    float(np.asarray(apply_n(args)[0]))  # compile + honest host-fetch sync
     t0 = time.perf_counter()
-    jax.block_until_ready(apply_n(args))
+    float(np.asarray(apply_n(args)[0]))
     wall = (time.perf_counter() - t0) / n_iters
 
     n_dofs = 2 * mesh.n_nodes

@@ -34,15 +34,27 @@ def run_assembly_sweep(
     mesh0 = tsx_mesh(ElementType.P1)
     coords, elems = mesh0.coords, mesh0.elems
 
+    # The whole assemble+apply pipeline runs `inner` times per dispatch in
+    # an on-device dependence chain, so one ~30 ms tunnel round-trip is
+    # amortized over `inner` pipeline executions (the round-1 numbers were
+    # measured with a bare block_until_ready, which does not block through
+    # the tunnel, and were pure dispatch time — bogus; BENCH_NOTES.md).
+    inner = 10
+
     @jax.jit
     def assemble_and_apply(a):
-        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
-        D = elastic_tangent_lanes(G, K, geom.n_int, a["coords"].dtype)
-        ke = asm.element_stiffness(geom, D)
-        # apply the assembled operator once: K u via matvec (exercises the
-        # same gather/contract/scatter pipeline as the Newton loop)
-        f = asm.tangent_matvec(geom, D, a["u"])
-        return ke.sum(), f
+        def body(_, u):
+            # couple coords to the iterate through a RUNTIME zero so the
+            # geometry/stiffness stages cannot be hoisted out of the loop
+            # (a literal 0.0*x would be folded away on this toolchain)
+            c2 = a["coords"] + a["zc"] * u[0]
+            geom = asm.compute_geometry(c2, a["elems"], a["tab"])
+            D = elastic_tangent_lanes(G, K, geom.n_int, c2.dtype)
+            ke = asm.element_stiffness(geom, D)
+            f = asm.tangent_matvec(geom, D, u)
+            return f / (1.0 + jnp.abs(f).max()) + a["zc"] * ke.sum()
+
+        return jax.lax.fori_loop(0, inner, body, a["u"])
 
     results = []
     for level in range(levels + 1):
@@ -55,8 +67,9 @@ def run_assembly_sweep(
             elems=jnp.asarray(elems),
             tab=tables(ref),
             u=jnp.ones(2 * n_n),
+            zc=jnp.zeros(()),
         )
-        wall = time_jitted(assemble_and_apply, a, reps=reps)
+        wall = time_jitted(assemble_and_apply, a, reps=reps) / inner
         rec = {
             "level": level,
             "n_elems": int(n_e),

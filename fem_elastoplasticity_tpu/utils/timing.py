@@ -46,17 +46,41 @@ class Timer:
         return {k: self.median(k) for k in self.laps}
 
 
-def time_jitted(fn: Callable, *args, reps: int = 5, warmup: int = 1) -> float:
-    """Median wall-clock of `fn(*args)` with device sync; compiles first."""
+def host_sync(out) -> None:
+    """Force completion of `out` with a device->host read.
+
+    `jax.block_until_ready` does NOT reliably block through the axon
+    tunnel (it returned before the 64-way ensemble solve had run,
+    under-reporting 1.38 s as 35.8 ms — BENCH_NOTES.md).  Fetching one
+    element of every output leaf is the only sync that is known-honest
+    on this runtime; the fetched slices are scalars, so the copy cost
+    is one tunnel round-trip, which is part of any honest end-to-end
+    wall anyway.
+    """
     import jax
     import numpy as np
 
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "reshape"):
+            # one jitted executable produces all outputs atomically, so
+            # fetching a single element of one leaf forces the program
+            np.asarray(leaf.reshape(-1)[:1])
+            return
+
+
+def time_jitted(fn: Callable, *args, reps: int = 5, warmup: int = 1) -> float:
+    """Median wall-clock of `fn(*args)` with an honest host-fetch sync;
+    compiles first.  Each rep pays one dispatch + one device->host scalar
+    fetch through the tunnel (~30 ms on axon) — amortize with an
+    on-device `fori_loop` chain inside `fn` when timing micro-ops."""
+    import numpy as np
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        host_sync(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        host_sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
