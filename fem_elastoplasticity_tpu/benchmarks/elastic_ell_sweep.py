@@ -17,7 +17,7 @@ import time
 
 
 def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
-                          verbose=True):
+                          verbose=True, fmt: str = "slot"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,7 +51,7 @@ def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
         t0 = time.perf_counter()
         mg_arrays, mg_metas, perms, coarse = mgm.build_hierarchy_ell(
             raw["coords"].astype(np.float64), raw["elems"], level,
-            _free_fn, shear, bulk, ref,
+            _free_fn, shear, bulk, ref, fmt=fmt,
         )
         # permuted finest mesh for the df32 residual geometry
         coords, elems = raw["coords"].astype(np.float64), raw["elems"]
@@ -109,7 +109,7 @@ def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
                 DF(*map(jnp.negative, adf.elastic_apply_df(g, u, shear, bulk))),
             )
             res = solve_cg(
-                lambda v: spmv.ell_matvec(a["mg"][-1]["op"], meta_top, v),
+                lambda v: spmv.sp_matvec(a["mg"][-1]["op"], meta_top, v),
                 r.hi, a["free_mask"], precond=lambda rr: pre(a["mg"], rr),
                 tol=2e-7, maxiter=16, structure="scan",
             )

@@ -115,6 +115,10 @@ class TsxTunnelConfig:
     # assembled windowed-ELL multigrid, ops/spmv.py — the problem is
     # permuted onto a locality node ordering, result mesh/u included)
     solver: str = "dense"
+    # assembled-operator kernel format for solver="ell": "ell" (windowed
+    # ELL) or "slot" (compacted-slot, ops/spmv.py build_slot — fewer VPU
+    # ops per row; 2.6x faster matvec at 910k DOFs)
+    spmv_fmt: str = "slot"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # iterative tangent solves (solver="cg"/"mg"); cg_tol None resolves to
     # 1e-14 (native f64) / 2e-7 (df32 — the f32 PCG residual floor; the

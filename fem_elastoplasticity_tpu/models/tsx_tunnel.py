@@ -374,6 +374,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         mg_arr_ell, mg_metas_ell, perms, coarse_ell = mgm.build_hierarchy_ell(
             raw["coords"].astype(np.float64), raw["elems"],
             cfg.refine_levels, _free_of, shear, bulk, ref,
+            fmt=cfg.spmv_fmt,
         )
         order = np.argsort(np.asarray(perms[-1]), kind="stable")
         coords2, elems2, new_of_old = spmv.permute_mesh(
@@ -398,6 +399,11 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
 
     gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
     n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
+    # static plastic-slot cap for the assembled-elastic tangent CG (ell
+    # mode): observed plastic fractions are <1% (379/56.8k at level 3);
+    # 1/64 with a 1024 floor gives >2x headroom.  Overflow degrades the
+    # tangent (extra Newton its), never the residual — newton.py.
+    plastic_cap = min(gdf.hi.n_int, max(1024, gdf.hi.n_int // 64))
     monitor_dof = 2 * monitor_node
     f32 = jnp.float32
 
@@ -626,6 +632,11 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
             mg_preconditioner=mg_pre,
+            elastic_op=(
+                (a["mg_ell"][-1]["op"], ell["metas"][-1]["op"])
+                if cfg.solver == "ell" else None
+            ),
+            plastic_cap=plastic_cap,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             precision="df32",
             pin_zeros=a["pinz"],

@@ -428,3 +428,69 @@ def project_to_nodes(geom: Geometry, q_int: jnp.ndarray) -> jnp.ndarray:
         num_segments=geom.n_nodes,
     )
     return num / den
+
+
+# ---------------------------------------------------------------------------
+# low-rank plastic tangent correction (assembled-elastic + correction CG)
+# ---------------------------------------------------------------------------
+def plastic_slots(ind_p: jnp.ndarray, p_max: int):
+    """Static-size compaction of the plastic integration-point set.
+
+    The Drucker-Prager consistent tangent equals the elastic tangent
+    exactly at non-plastic points (`models/materials.py` return map), so
+    K_tangent = K_elastic + a correction supported on the plastic points
+    only — a sub-percent fraction of the mesh in the tsx/footing problems
+    (379 of 56.8k at level 3).  This lets the CG operator run on the
+    assembled elastic Pallas matvec (`ops/spmv.py`) plus a tiny
+    gather/scatter correction instead of the serialized full-mesh
+    matrix-free path.
+
+    `top_k` keeps the compaction scatter-free (XLA:TPU serializes scatter
+    at ~8 ns/element; top_k is vectorized).  Ties preserve ascending qp
+    order.  Returns (idx (p_max,) i32, valid (p_max,) bool).  If more
+    than p_max points are plastic, the overflow is dropped: the CG
+    operator then applies an inexact (still symmetric) tangent — Newton's
+    residual is exact, so this costs iterations, never accuracy.
+    """
+    vals, idx = jax.lax.top_k(ind_p.astype(jnp.int32), p_max)
+    return idx.astype(jnp.int32), vals > 0
+
+
+def plastic_correction_gather(
+    geom: Geometry, delta: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray
+):
+    """Gather (B, w*delta, dofs) at the static plastic slot set.
+
+    delta: (3, 3, n_int) tangent deviation from elastic (d - d_elastic).
+    Returns (Bp (3, 2n_p, P), wdelta (3, 3, P), edp (2n_p, P)).  Invalid
+    (padding) slots get zero wdelta, making them inert regardless of
+    where their idx points.
+    """
+    Bp = geom.B[:, :, idx]
+    w = jnp.where(valid, geom.weight[idx], jnp.zeros((), geom.weight.dtype))
+    wdelta = delta[:, :, idx] * w
+    e = idx // geom.n_q
+    edp = geom.edofs_t[:, e]
+    return Bp, wdelta, edp
+
+
+def plastic_correction_apply(
+    Bp: jnp.ndarray,
+    wdelta: jnp.ndarray,
+    edp: jnp.ndarray,
+    n_dofs: int,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """(K_tangent - K_elastic) v over the gathered plastic slots.
+
+    Same B^T (w*delta) B v contraction as `tangent_matvec` restricted to
+    the slot set: gather v at the slots' element DOFs, strain, apply the
+    tangent deviation, scatter B^T back.
+    """
+    ue = v[edp]                                   # (2n_p, P)
+    e3 = (Bp * ue[None, :, :]).sum(axis=1)        # (3, P)
+    s3 = (wdelta * e3[None, :, :]).sum(axis=1)    # (3, P)
+    fk = (Bp * s3[:, None, :]).sum(axis=0)        # (2n_p, P)
+    return jax.ops.segment_sum(
+        fk.reshape(-1), edp.reshape(-1), num_segments=n_dofs
+    )

@@ -273,11 +273,14 @@ def build_ell_elastic(
     bulk: float,
     free: Optional[np.ndarray] = None,
     dtype=np.float32,
+    fmt: str = "ell",
 ):
-    """Elastic-stiffness windowed-ELL operator in one call (host setup).
+    """Elastic-stiffness assembled sparse operator in one call (host setup).
 
     `free`: (n_n, 2) bool mask — constrained rows/cols are zeroed with
     unit diagonal so the operator is SPD on the whole space.
+    `fmt`: "ell" (windowed-ELL) or "slot" (compacted-slot; 2.6x faster
+    at 910k DOFs — see `build_slot`).
     Returns (arrays, meta, K_csr) — the CSR is kept for diag extraction.
     """
     dd = 4.0 * shear / 3.0 + bulk
@@ -288,8 +291,23 @@ def build_ell_elastic(
     K = assemble_csr(ke, edofs, n2)
     if free is not None:
         K = apply_bc_csr(K, np.asarray(free).reshape(-1))
-    arrays, meta = build_ell(K, dtype)
+    arrays, meta = build_sparse(K, dtype, fmt=fmt)
     return arrays, meta, K
+
+
+def build_sparse(K_csr, dtype=np.float32, fmt: str = "ell"):
+    """CSR -> (arrays, meta) in the requested kernel format."""
+    if fmt == "slot":
+        return build_slot(K_csr, dtype)
+    assert fmt == "ell", fmt
+    return build_ell(K_csr, dtype)
+
+
+def sp_matvec(arrays: dict, meta, v: jnp.ndarray) -> jnp.ndarray:
+    """Format-generic K v: dispatches on the static meta type."""
+    if isinstance(meta, SlotMeta):
+        return slot_matvec(arrays, meta, v)
+    return ell_matvec(arrays, meta, v)
 
 
 def diag_blocks_csr(K_csr, n_n: int) -> np.ndarray:
@@ -383,3 +401,167 @@ def _smem():
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.SMEM
+
+
+# ---------------------------------------------------------------------------
+# compacted-slot format: level-independent work per row
+# ---------------------------------------------------------------------------
+class SlotMeta(NamedTuple):
+    """Static metadata of a compacted-slot operator (hashable, jit-static).
+
+    The windowed-ELL kernel above re-gathers every ELL slot once per
+    window row (J x deg work per 128-row block, and J grows with the RCM
+    bandwidth ~ sqrt(n): J*deg = 44*18 at level 5).  The compacted-slot
+    format assigns every matrix entry to a (source row, dup) slot shared
+    by the 128 lanes of its output block: one dynamic row load + one
+    lane-gather + one FMA per slot, no compare/select, and the slot count
+    S is a *local* property of the mesh (~31 per block for P1, measured
+    level-independent from L4 to L5).  Slots are vectorized across the 8
+    blocks of a superblock in the sublane dimension.
+    """
+
+    n2: int      # output rows
+    n_in: int    # input length
+    n_sb: int    # superblocks (8 x 128 output rows each)
+    s_pad: int   # padded slots per block
+    vrows: int   # input-vector rows
+
+
+def build_slot(K_csr, dtype=np.float32):
+    """CSR -> compacted-slot arrays for `slot_matvec`.
+
+    Returns (arrays, meta).  arrays:
+      nsl  (n_sb,)              i32  slot bound per superblock (SMEM)
+      srow (n_sb, 8, s_pad)     i32  source vector row per (block, slot)
+      cidx (n_sb, s_pad, 8,128) i32  lane index within the source row
+      vals (n_sb, s_pad, 8,128) f32  matrix values (0 on padding)
+    """
+    n2, n_in = K_csr.shape
+    deg_arr = np.diff(K_csr.indptr)
+    rows = np.repeat(np.arange(n2, dtype=np.int64), deg_arr)
+    cols = K_csr.indices.astype(np.int64)
+    data = K_csr.data.astype(dtype)
+
+    blk = rows >> 7
+    lane = rows & 127
+    r = cols >> 7
+    c = cols & 127
+    n_blocks = int(blk.max()) + 1 if n2 else 1
+    n_sb = (n_blocks + 7) // 8
+    vrows = max((n_in + 127) // 128, 1)
+
+    # dup layer k: running count of entries per (blk, r, lane)
+    o = np.lexsort((c, lane, r, blk))
+    blk, lane, r, c, data = blk[o], lane[o], r[o], c[o], data[o]
+    key_brl = (blk * vrows + r) * 128 + lane
+    new = np.ones(key_brl.shape[0], bool)
+    new[1:] = key_brl[1:] != key_brl[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(new.size), 0))
+    k = np.arange(new.size) - run_start
+
+    # slot id: rank of (r, k) within each block, ordered by (r, k)
+    o2 = np.lexsort((k, r, blk))
+    blk2, lane2, r2, c2, d2, k2 = (
+        blk[o2], lane[o2], r[o2], c[o2], data[o2], k[o2]
+    )
+    key_brk = (blk2 * vrows + r2) * 64 + k2  # k < 64 always (dups per row)
+    assert int(k2.max(initial=0)) < 64
+    new2 = np.ones(key_brk.shape[0], bool)
+    new2[1:] = key_brk[1:] != key_brk[:-1]
+    # slot index = number of distinct (r,k) seen so far within the block
+    blk_change = np.ones(key_brk.shape[0], bool)
+    blk_change[1:] = blk2[1:] != blk2[:-1]
+    slot_cum = np.cumsum(new2)
+    blk_base = np.maximum.accumulate(
+        np.where(blk_change, slot_cum - 1, 0)
+    )
+    s = slot_cum - 1 - blk_base
+
+    S_b = np.zeros(n_sb * 8, np.int64)
+    if s.size:
+        np.maximum.at(S_b, blk2, s + 1)
+    s_pad = int(max(S_b.max(initial=1), 1))
+    nsl = S_b.reshape(n_sb, 8).max(axis=1).astype(np.int32)
+
+    srow = np.zeros((n_sb * 8, s_pad), np.int32)
+    cidx = np.zeros((n_sb * 8, s_pad, 128), np.int32)
+    vals = np.zeros((n_sb * 8, s_pad, 128), dtype)
+    srow[blk2, s] = r2.astype(np.int32)
+    cidx[blk2, s, lane2] = c2.astype(np.int32)
+    vals[blk2, s, lane2] = d2
+
+    arrays = dict(
+        nsl=jnp.asarray(nsl),
+        srow=jnp.asarray(srow.reshape(n_sb, 8, s_pad)),
+        cidx=jnp.asarray(
+            np.ascontiguousarray(
+                cidx.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
+            )
+        ),
+        vals=jnp.asarray(
+            np.ascontiguousarray(
+                vals.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
+            )
+        ),
+    )
+    meta = SlotMeta(
+        n2=n2, n_in=n_in, n_sb=n_sb, s_pad=s_pad, vrows=vrows
+    )
+    return arrays, meta
+
+
+def _slot_kernel(meta: SlotMeta):
+    def kern(nsl_ref, srow_ref, cidx_ref, vals_ref, v_ref, o_ref):
+        import jax.experimental.pallas as pl
+
+        blk = pl.program_id(0)
+
+        def body(s, acc):
+            tile = jnp.concatenate(
+                [
+                    v_ref[pl.ds(srow_ref[0, p, s], 1), :]
+                    for p in range(8)
+                ],
+                axis=0,
+            )                                             # (8, 128)
+            gat = jnp.take_along_axis(tile, cidx_ref[0, s], axis=1)
+            return acc + vals_ref[0, s] * gat
+
+        acc = jax.lax.fori_loop(
+            0, nsl_ref[blk], body, jnp.zeros((8, 128), jnp.float32)
+        )
+        o_ref[...] = acc
+
+    return kern
+
+
+def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
+    """K v via the compacted-slot Pallas kernel.  v: flat (n_in,) f32.
+
+    On non-TPU backends runs in Pallas interpret mode (tests).
+    """
+    import jax.experimental.pallas as pl
+
+    v2 = jnp.zeros((meta.vrows * 128,), jnp.float32).at[: meta.n_in].set(
+        jnp.asarray(v, jnp.float32)
+    ).reshape(meta.vrows, 128)
+    interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _slot_kernel(meta),
+            grid=(meta.n_sb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=_smem()),
+                pl.BlockSpec(
+                    (1, 8, meta.s_pad), lambda b: (b, 0, 0),
+                    memory_space=_smem(),
+                ),
+                pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((meta.vrows, 128), lambda b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(arrays["nsl"], arrays["srow"], arrays["cidx"], arrays["vals"], v2)
+    return out.reshape(-1)[: meta.n2]

@@ -212,6 +212,7 @@ def build_hierarchy_ell(
     bulk: float,
     ref,
     omega: float = 0.7,
+    fmt: str = "ell",
 ):
     """Host-side ELL multigrid build: red refinement + locality ordering.
 
@@ -286,7 +287,7 @@ def build_hierarchy_ell(
         c2, e2, new_of_old = spmv.permute_mesh(c, e, order)
         free2 = np.asarray(free_fn(c2))
         opa, opm, K = spmv.build_ell_elastic(
-            c2, e2, ref, shear, bulk, free=free2, dtype=np.float32
+            c2, e2, ref, shear, bulk, free=free2, dtype=np.float32, fmt=fmt
         )
         blocks = spmv.diag_blocks_csr(K, n_n)
         a_, b_, cc_, d_ = (
@@ -335,10 +336,10 @@ def build_hierarchy_ell(
                 shape=(2 * n_n, 2 * prev_n),
             ).tocsr()
             P.sum_duplicates()
-            entry["P"], meta["P"] = spmv.build_ell(P, np.float32)
+            entry["P"], meta["P"] = spmv.build_sparse(P, np.float32, fmt=fmt)
             R = P.T.tocsr()
             R.sum_duplicates()
-            entry["R"], meta["R"] = spmv.build_ell(R, np.float32)
+            entry["R"], meta["R"] = spmv.build_sparse(R, np.float32, fmt=fmt)
         arrays.append(entry)
         metas.append(meta)
         perms.append(new_of_old)
@@ -350,7 +351,8 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
     """ELL V-cycle: returns pre(arrays, r) with `arrays` a jit argument.
 
     Same cycle structure as `make_vcycle` but every operator application
-    is a windowed-ELL Pallas matvec (`ops.spmv.ell_matvec`).
+    is an assembled-sparse Pallas matvec (`ops.spmv.sp_matvec` —
+    windowed-ELL or compacted-slot, per the hierarchy's build fmt).
     """
     from ..ops import spmv
 
@@ -358,7 +360,7 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
 
     def smooth(arr, meta, z, r):
         def sweep(_, z):
-            res = r - spmv.ell_matvec(arr["op"], meta["op"], z)
+            res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
             res = jnp.where(arr["free"], res, 0.0)
             dz = jnp.einsum(
                 "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
@@ -373,12 +375,12 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         if li == 0:
             return jnp.where(arr["free"], coarse_solve(r), 0.0)
         z = smooth(arr, meta, jnp.zeros_like(r), r)
-        res = r - spmv.ell_matvec(arr["op"], meta["op"], z)
+        res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
         res = jnp.where(arr["free"], res, 0.0)
-        r_c = spmv.ell_matvec(arr["R"], meta["R"], res)
+        r_c = spmv.sp_matvec(arr["R"], meta["R"], res)
         z_c = vcycle(arrays, li - 1, r_c)
         z = z + jnp.where(
-            arr["free"], spmv.ell_matvec(arr["P"], meta["P"], z_c), 0.0
+            arr["free"], spmv.sp_matvec(arr["P"], meta["P"], z_c), 0.0
         )
         return smooth(arr, meta, z, r)
 

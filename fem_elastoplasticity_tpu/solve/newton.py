@@ -37,7 +37,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.materials import dp_return_map_lanes
+from ..models.materials import dp_return_map_lanes, elastic_tangent_lanes
 from ..ops import assembly as asm
 from ..ops.df32 import (
     DF,
@@ -139,6 +139,8 @@ def build_load_stepper(
     dense_mode: str = "f64",
     use_pallas: Optional[bool] = None,
     mg_preconditioner: Optional[Callable] = None,
+    elastic_op=None,
+    plastic_cap: Optional[int] = None,
     elastic_factor=None,
     precision: str = "native",
     pin_zeros=None,
@@ -162,6 +164,19 @@ def build_load_stepper(
                   default keeps d_zeta (tsx).  Footing doubles it when the
                   pressure increment is small (P:1109-1110).  The monitor
                   value arrives as a plain scalar (the DF head in df32).
+      elastic_op:  optional (arrays, meta) assembled elastic operator
+                  (`ops.spmv.build_sparse` format, BCs applied) on the
+                  SAME node ordering as `geom`.  With solver="mg", the CG
+                  tangent operator becomes `sp_matvec(elastic_op, v) +
+                  plastic_correction(v)` — the consistent tangent equals
+                  the elastic tangent exactly at non-plastic points, so
+                  the correction is gathered over a static `plastic_cap`-
+                  sized slot set (`ops.assembly.plastic_slots`) instead of
+                  running the serialized full-mesh matrix-free matvec.
+      plastic_cap: static size of the plastic slot set (elastic_op mode);
+                  overflow beyond the cap degrades the tangent (never the
+                  residual): Newton may take extra iterations but the
+                  answer is unchanged.
       elastic_factor: prefactored elastic stiffness (cho_factor pair) for
                   the dense solver.  When no integration point is plastic
                   the tangent equals the elastic stiffness bitwise, so the
@@ -291,19 +306,30 @@ def build_load_stepper(
         # matvec: q3^2 = q2^2 + 2 dU.K.U_it + q1^2 (K_elast is symmetric).
         # vmap instantiates the elastic-apply program once for both
         # vectors (TPU code-size, solve_cg note) and batches the lanes.
-        KdU, KU = jax.vmap(elastic_apply)(jnp.stack([dU, U_it], axis=0))
+        if elastic_op is not None:
+            # assembled elastic Pallas matvec (BC rows are unit-diagonal,
+            # but dU and U_it vanish on constrained DOFs — homogeneous
+            # Dirichlet — so the energy norms are unchanged)
+            from ..ops import spmv as _spmv
+
+            op_arr, op_meta = elastic_op
+            KdU = _spmv.sp_matvec(op_arr, op_meta, dU)
+            KU = _spmv.sp_matvec(op_arr, op_meta, U_it)
+        else:
+            KdU, KU = jax.vmap(elastic_apply)(jnp.stack([dU, U_it], axis=0))
         q1sq = dU @ KdU
         q2sq = U_it @ KU
         cross = dU @ KU
         q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
         return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
 
-    def newton_solve(d, f_int, any_plastic):
+    def newton_solve(d, f_int, any_plastic, ind_p=None):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
-        d: (3, 3, n_int) consistent tangent.  Returns (dU, ok) — ok is
-        False when an iterative solve hit its cap without converging
-        (treated as divergence by the caller, like the NaN guard)."""
+        d: (3, 3, n_int) consistent tangent; ind_p: (n_int,) plastic mask
+        (elastic_op mode).  Returns (dU, ok) — ok is False when an
+        iterative solve hit its cap without converging (treated as
+        divergence by the caller, like the NaN guard)."""
         if solver == "dense":
             ke = asm.element_stiffness(geom, d)
             K_free = asm.assemble_dense_free(ke, geom, fmap, n_free)
@@ -346,11 +372,31 @@ def build_load_stepper(
         else:
             blocks = asm.node_block_diagonal(geom, d, axis_name=axis_name)
             pre = block_jacobi_preconditioner(blocks, free_mask.reshape(-1, 2))
+        if elastic_op is not None and ind_p is not None:
+            # assembled-elastic + low-rank plastic correction: the Pallas
+            # slot/ELL matvec replaces the serialized full-mesh gather/
+            # scatter; only the (static-capped) plastic slot set pays
+            # XLA gather cost.  Exact: d == d_elastic off the plastic set.
+            from ..ops import spmv as _spmv
+
+            op_arr, op_meta = elastic_op
+            d_el = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
+            idx_p, valid_p = asm.plastic_slots(ind_p, plastic_cap)
+            Bp, wdelta, edp = asm.plastic_correction_gather(
+                geom, d - d_el, idx_p, valid_p
+            )
+            A_op = lambda v: _spmv.sp_matvec(
+                op_arr, op_meta, v
+            ) + asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, v)
+        else:
+            A_op = lambda v: asm.tangent_matvec(
+                geom, d, v, axis_name=axis_name
+            )
         # no warm start: x0=None lets solve_cg skip the extra operator /
         # preconditioner instantiations (TPU code-size, solve_cg note) —
         # the tangent changes between Newton iterations anyway
         res = solve_cg(
-            lambda v: asm.tangent_matvec(geom, d, v, axis_name=axis_name),
+            A_op,
             -f_int,
             free_mask,
             precond=pre,
@@ -390,7 +436,7 @@ def build_load_stepper(
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
-            dU, ok = newton_solve(ds_rm, f_int, any_p)
+            dU, ok = newton_solve(ds_rm, f_int, any_p, ind_p=ind_p)
             U_new = (
                 df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
                 if df_mode

@@ -191,3 +191,87 @@ def test_ell_vcycle_preconditions_cg(ell_hier):
         mesh_ok * free, b * free,
         atol=2e-4 * np.abs(b).max(),
     )
+
+
+# ---------------------------------------------------------------------------
+# compacted-slot format (build_slot / slot_matvec)
+# ---------------------------------------------------------------------------
+def test_slot_matvec_matches_scipy(tsx_rcm):
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(60000.0, 0.2)
+    _, _, K = spmv.build_ell_elastic(
+        coords2, elems2, ref, shear, bulk, free=free2
+    )
+    arrays, meta = spmv.build_slot(K)
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(meta.n2).astype(np.float32)
+    got = np.asarray(
+        jax.jit(lambda a, vv: spmv.slot_matvec(a, meta, vv))(
+            arrays, jnp.asarray(v)
+        )
+    )
+    exp = K @ v.astype(np.float64)
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(got, exp, atol=2e-6 * scale)
+
+
+def test_slot_matvec_rectangular():
+    """P/R-shaped (rectangular) operators work in slot format too."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    for shape in [(700, 350), (130, 900), (128, 128)]:
+        M = sp.random(*shape, density=0.02, random_state=11, format="csr")
+        M.sum_duplicates()
+        arrays, meta = spmv.build_slot(M)
+        v = rng.standard_normal(shape[1]).astype(np.float32)
+        got = np.asarray(
+            jax.jit(lambda a, vv: spmv.slot_matvec(a, meta, vv))(
+                arrays, jnp.asarray(v)
+            )
+        )
+        exp = M @ v.astype(np.float64)
+        scale = max(np.abs(exp).max(), 1e-30)
+        np.testing.assert_allclose(got, exp, atol=2e-6 * scale)
+
+
+def test_slot_hierarchy_vcycle_preconditions_cg():
+    """A slot-format hierarchy drives the same V-cycle via sp_matvec."""
+    cfg = TsxTunnelConfig()
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    raw = np.load(_DATA)
+    ref = volume_element(ElementType.P1)
+    arrays, metas, perms, coarse = mg.build_hierarchy_ell(
+        raw["coords"].astype(np.float64), raw["elems"], 1, _free_fn,
+        shear, bulk, ref, fmt="slot",
+    )
+    assert isinstance(metas[-1]["op"], spmv.SlotMeta)
+    meta = metas[-1]["op"]
+    arr = arrays[-1]
+
+    def coarse_solve(r):
+        idx0 = coarse["free_idx0"]
+        return jnp.zeros_like(r).at[idx0].set(
+            jax.scipy.linalg.cho_solve((coarse["cho0"], False), r[idx0])
+        )
+
+    pre = mg.make_vcycle_ell(metas, coarse_solve, nu=2)
+    rng = np.random.default_rng(3)
+    free = np.asarray(arr["free"])
+    b = rng.standard_normal(meta.n2).astype(np.float32) * free
+    res = solve_cg(
+        lambda v: spmv.sp_matvec(arr["op"], meta, v),
+        jnp.asarray(b),
+        jnp.asarray(free),
+        precond=lambda r: pre(arrays, r),
+        tol=1e-5,
+        maxiter=40,
+        structure="while",
+    )
+    assert bool(res.converged)
+    assert int(res.iters) <= 25
+    got = np.asarray(spmv.sp_matvec(arr["op"], meta, res.x))
+    np.testing.assert_allclose(
+        got * free, b * free, atol=2e-4 * np.abs(b).max()
+    )
