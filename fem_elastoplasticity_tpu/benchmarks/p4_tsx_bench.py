@@ -16,24 +16,34 @@ import json
 import time
 
 
-def main(fast: bool = True) -> None:
+def main(fast: bool = True, assembled: bool = True) -> None:
     from ..models.config import TsxTunnelConfig
     from ..models.tsx_tunnel import solve
     from ..ops.elements import ElementType
 
     kw = dict(etype=ElementType.P4, solver="cg")
-    cfg = TsxTunnelConfig.fast(**kw) if fast else TsxTunnelConfig(**kw)
+    if fast:
+        # assembled-operator CG (config.assembled_cg): the tangent CG and
+        # the df32 Newton residual run on host-assembled compacted-slot
+        # Pallas operators instead of the serialized matrix-free gather
+        # path — the production P4 configuration
+        cfg = TsxTunnelConfig.fast(assembled_cg=assembled, **kw)
+    else:
+        cfg = TsxTunnelConfig(**kw)
     t0 = time.perf_counter()
     r = solve(cfg)
     wall = time.perf_counter() - t0
 
+    path = "native_cg"
+    if fast:
+        path = "df32_cg_assembled" if assembled else "df32_cg"
     print(
         json.dumps(
             {
                 "metric": "tsx_tunnel_p4_full_schedule_wall",
                 "value": wall,
                 "unit": "s",
-                "path": "df32_cg" if fast else "native_cg",
+                "path": path,
                 "n_steps": r.n_steps,
                 "n_newton_total": r.n_newton_total,
                 "n_plastic": r.n_plastic,
@@ -46,4 +56,7 @@ def main(fast: bool = True) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(fast="--native" not in sys.argv)
+    main(
+        fast="--native" not in sys.argv,
+        assembled="--matrix-free" not in sys.argv,
+    )

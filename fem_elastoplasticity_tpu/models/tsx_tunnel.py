@@ -352,6 +352,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
     ref = volume_element(cfg.etype)
     monitor_node = cfg.monitor_node
     ell = None
+    esort = None
     if cfg.solver == "ell":
         # Windowed-ELL multigrid (ops/spmv.py): the elastic hierarchy is
         # assembled host-side with locality node ordering, and the WHOLE
@@ -381,6 +382,12 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             np.asarray(mesh.coords, np.float64), np.asarray(mesh.elems),
             order,
         )
+        # node-locality element sort: the assembled strain/force slot
+        # operators (build_residual_slot_df) block output rows by 128
+        # consecutive integration points — consecutive elements must
+        # reference nearby (permuted) nodes for small slot counts
+        esort = np.argsort(elems2.min(axis=1), kind="stable")
+        elems2 = elems2[esort]
         free2 = _free_of(coords2)
         mesh = Mesh(
             coords2, elems2, cfg.etype,
@@ -390,8 +397,36 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         ell = dict(metas=mg_metas_ell, new_of_old=new_of_old)
         if extras is not None:
             # node map for callers that need reference ordering back:
-            # u_orig[old] = u_perm[new_of_old[old]]  (element order is
-            # unchanged — permute_mesh remaps node ids only)
+            # u_orig[old] = u_perm[new_of_old[old]]; element (and hence
+            # integration-point) order is restored via extras["elem_sort"]
+            extras["ell_new_of_old"] = new_of_old
+    elastic_slot = None
+    if cfg.solver == "cg" and cfg.assembled_cg:
+        # assembled-operator CG, element-type generic (config.assembled_cg):
+        # RCM-permute the problem onto a locality node ordering, assemble
+        # the elastic stiffness once on the host into the compacted-slot
+        # format, and run tangent CG as K_elastic (Pallas slot matvec) + a
+        # low-rank plastic correction — the P4 production path
+        from ..ops import spmv
+
+        order = spmv.rcm_node_order(np.asarray(mesh.elems), mesh.n_nodes)
+        coords2, elems2, new_of_old = spmv.permute_mesh(
+            np.asarray(mesh.coords, np.float64), np.asarray(mesh.elems),
+            order,
+        )
+        esort = np.argsort(elems2.min(axis=1), kind="stable")
+        elems2 = elems2[esort]
+        free2 = np.asarray(mesh.free)[order]
+        mesh = Mesh(
+            coords2, elems2, cfg.etype,
+            dirichlet=np.zeros_like(coords2), free=free2,
+        )
+        monitor_node = int(new_of_old[cfg.monitor_node])
+        _Ka, _Km, _ = spmv.build_ell_elastic(
+            coords2, elems2, ref, shear, bulk, free=free2, fmt="slot"
+        )
+        elastic_slot = (_Ka, _Km)
+        if extras is not None:
             extras["ell_new_of_old"] = new_of_old
     fmap_np, n_free = asm.free_dof_map(mesh.free)
     free_idx = jnp.asarray(np.nonzero(np.asarray(mesh.free).reshape(-1))[0])
@@ -404,6 +439,17 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
     # 1/64 with a 1024 floor gives >2x headroom.  Overflow degrades the
     # tangent (extra Newton its), never the residual — newton.py.
     plastic_cap = min(gdf.hi.n_int, max(1024, gdf.hi.n_int // 64))
+    if extras is not None and esort is not None:
+        # integration-point restore map: sorted[k] = original[esort[k]]
+        extras["elem_sort"] = (esort, int(gdf.hi.n_q), int(gdf.hi.n_real))
+    res_metas = None
+    if cfg.solver == "ell" or elastic_slot is not None:
+        # assembled df32 strain/force operators for the Newton residual
+        # (host setup; the mesh was locality-permuted + element-sorted)
+        from ..ops import spmv as _spmv_mod
+
+        _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(gdf)
+        res_metas = (_Gm, _Sm)
     monitor_dof = 2 * monitor_node
     f32 = jnp.float32
 
@@ -441,6 +487,10 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         args["mg_ell"] = mg_arr_ell
         args["cho0"] = coarse_ell["cho0"]
         args["free_idx0"] = coarse_ell["free_idx0"]
+        args["G_slot"], args["S_slot"] = _Ga, _Sa
+    if elastic_slot is not None:
+        args["K_slot"] = elastic_slot[0]
+        args["G_slot"], args["S_slot"] = _Ga, _Sa
     if cfg.support_pressure != 0.0:
         # setup-time f64 traction on host CPU, split exactly into a DF pair
         from ..ops.elements import surface_element
@@ -601,9 +651,18 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 blocks = asm.node_block_diagonal(g.hi, D)
                 pre = block_jacobi_preconditioner(blocks, a["free_mask"])
 
+            if elastic_slot is not None:
+                from ..ops import spmv as _spmv_mod2
+
+                K_op = lambda v: _spmv_mod2.sp_matvec(
+                    a["K_slot"], elastic_slot[1], v
+                )
+            else:
+                K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
+
             def solve_fn(r_hi):
                 return solve_cg(
-                    lambda v: asm.tangent_matvec(g.hi, D, v),
+                    K_op,
                     r_hi,
                     a["free_mask"],
                     precond=pre,
@@ -634,9 +693,16 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             mg_preconditioner=mg_pre,
             elastic_op=(
                 (a["mg_ell"][-1]["op"], ell["metas"][-1]["op"])
-                if cfg.solver == "ell" else None
+                if cfg.solver == "ell"
+                else (a["K_slot"], elastic_slot[1])
+                if elastic_slot is not None
+                else None
             ),
             plastic_cap=plastic_cap,
+            df_residual_op=(
+                (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1])
+                if res_metas is not None else None
+            ),
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             precision="df32",
             pin_zeros=a["pinz"],
@@ -698,8 +764,16 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 rhs,
                 DF(*map(jnp.negative, adf.elastic_apply_df(g, u, shear, bulk))),
             )
+            if elastic_slot is not None:
+                from ..ops import spmv as _spmv_x
+
+                K_op = lambda v: _spmv_x.sp_matvec(
+                    a["K_slot"], elastic_slot[1], v
+                )
+            else:
+                K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
             du = solve_cg(
-                lambda v: asm.tangent_matvec(g.hi, D, v),
+                K_op,
                 r.hi, a["free_mask"], precond=pre, tol=cg_tol,
                 maxiter=cfg.cg_maxiter, structure=cfg.cg_structure,
             ).x
@@ -862,15 +936,27 @@ def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
     res = run(args)
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
     u = f64(res.u).reshape(-1, 2)
+    ep = f64(res.ep)
     if "ell_new_of_old" in extras:
-        # restore the reference node ordering (the ell solver permutes the
-        # problem onto a locality ordering; ep is element-ordered and
-        # unaffected)
+        # restore the reference node ordering (the ell/assembled_cg
+        # solvers permute the problem onto a locality ordering) and the
+        # element-major integration-point ordering (locality element sort)
         u = u[extras["ell_new_of_old"]]
+        esort, n_q, n_real = extras["elem_sort"]
+        body = ep[..., : n_real * n_q].reshape(*ep.shape[:-1], n_real, n_q)
+        restored = np.empty_like(body)
+        restored[..., esort, :] = body
+        ep = np.concatenate(
+            [
+                restored.reshape(*ep.shape[:-1], n_real * n_q),
+                ep[..., n_real * n_q:],
+            ],
+            axis=-1,
+        )
         mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     return TsxResult(
         u=u,
-        ep=f64(res.ep),
+        ep=ep,
         zeta_hist=np.asarray(res.zeta_hist, np.float64),
         displ_hist=f64(res.monitor_hist),
         n_steps=int(res.n_steps),

@@ -427,20 +427,17 @@ class SlotMeta(NamedTuple):
     vrows: int   # input-vector rows
 
 
-def build_slot(K_csr, dtype=np.float32):
-    """CSR -> compacted-slot arrays for `slot_matvec`.
+def _slot_pack(K_csr):
+    """Shared CSR -> slot-layout packing (indices only, value-agnostic).
 
-    Returns (arrays, meta).  arrays:
-      nsl  (n_sb,)              i32  slot bound per superblock (SMEM)
-      srow (n_sb, 8, s_pad)     i32  source vector row per (block, slot)
-      cidx (n_sb, s_pad, 8,128) i32  lane index within the source row
-      vals (n_sb, s_pad, 8,128) f32  matrix values (0 on padding)
+    Returns (meta, nsl, srow (n_sb*8, s_pad), cidx (n_sb*8, s_pad, 128),
+    fill=(blk2, s, lane2), perm) where `K_csr.data[perm]` is the value
+    stream aligned with the fill indices.
     """
     n2, n_in = K_csr.shape
     deg_arr = np.diff(K_csr.indptr)
     rows = np.repeat(np.arange(n2, dtype=np.int64), deg_arr)
     cols = K_csr.indices.astype(np.int64)
-    data = K_csr.data.astype(dtype)
 
     blk = rows >> 7
     lane = rows & 127
@@ -452,7 +449,7 @@ def build_slot(K_csr, dtype=np.float32):
 
     # dup layer k: running count of entries per (blk, r, lane)
     o = np.lexsort((c, lane, r, blk))
-    blk, lane, r, c, data = blk[o], lane[o], r[o], c[o], data[o]
+    blk, lane, r, c = blk[o], lane[o], r[o], c[o]
     key_brl = (blk * vrows + r) * 128 + lane
     new = np.ones(key_brl.shape[0], bool)
     new[1:] = key_brl[1:] != key_brl[:-1]
@@ -461,9 +458,7 @@ def build_slot(K_csr, dtype=np.float32):
 
     # slot id: rank of (r, k) within each block, ordered by (r, k)
     o2 = np.lexsort((k, r, blk))
-    blk2, lane2, r2, c2, d2, k2 = (
-        blk[o2], lane[o2], r[o2], c[o2], data[o2], k[o2]
-    )
+    blk2, lane2, r2, c2, k2 = blk[o2], lane[o2], r[o2], c[o2], k[o2]
     key_brk = (blk2 * vrows + r2) * 64 + k2  # k < 64 always (dups per row)
     assert int(k2.max(initial=0)) < 64
     new2 = np.ones(key_brk.shape[0], bool)
@@ -485,29 +480,120 @@ def build_slot(K_csr, dtype=np.float32):
 
     srow = np.zeros((n_sb * 8, s_pad), np.int32)
     cidx = np.zeros((n_sb * 8, s_pad, 128), np.int32)
-    vals = np.zeros((n_sb * 8, s_pad, 128), dtype)
     srow[blk2, s] = r2.astype(np.int32)
     cidx[blk2, s, lane2] = c2.astype(np.int32)
-    vals[blk2, s, lane2] = d2
 
+    meta = SlotMeta(n2=n2, n_in=n_in, n_sb=n_sb, s_pad=s_pad, vrows=vrows)
+    return meta, nsl, srow, cidx, (blk2, s, lane2), o[o2]
+
+
+def _slot_tile(x, n_sb, s_pad):
+    """(n_sb*8, s_pad, 128) -> (n_sb, s_pad, 8, 128) contiguous."""
+    return jnp.asarray(
+        np.ascontiguousarray(
+            x.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
+        )
+    )
+
+
+def build_slot(K_csr, dtype=np.float32):
+    """CSR -> compacted-slot arrays for `slot_matvec`.
+
+    Returns (arrays, meta).  arrays:
+      nsl  (n_sb,)              i32  slot bound per superblock (SMEM)
+      srow (n_sb, 8, s_pad)     i32  source vector row per (block, slot)
+      cidx (n_sb, s_pad, 8,128) i32  lane index within the source row
+      vals (n_sb, s_pad, 8,128) f32  matrix values (0 on padding)
+    """
+    meta, nsl, srow, cidx, (blk2, s, lane2), perm = _slot_pack(K_csr)
+    vals = np.zeros((meta.n_sb * 8, meta.s_pad, 128), dtype)
+    vals[blk2, s, lane2] = K_csr.data[perm].astype(dtype)
     arrays = dict(
         nsl=jnp.asarray(nsl),
-        srow=jnp.asarray(srow.reshape(n_sb, 8, s_pad)),
-        cidx=jnp.asarray(
-            np.ascontiguousarray(
-                cidx.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
-            )
-        ),
-        vals=jnp.asarray(
-            np.ascontiguousarray(
-                vals.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
-            )
-        ),
-    )
-    meta = SlotMeta(
-        n2=n2, n_in=n_in, n_sb=n_sb, s_pad=s_pad, vrows=vrows
+        srow=jnp.asarray(srow.reshape(meta.n_sb, 8, meta.s_pad)),
+        cidx=_slot_tile(cidx, meta.n_sb, meta.s_pad),
+        vals=_slot_tile(vals, meta.n_sb, meta.s_pad),
     )
     return arrays, meta
+
+
+def build_slot_df(K_csr):
+    """CSR (f64 values) -> slot arrays for `slot_matvec_df`.
+
+    Like `build_slot` but the f64 values are split exactly into two-f32
+    (hi, lo) pairs, for the double-float kernel that preserves ~1e-14
+    relative accuracy (the Newton residual path).
+    """
+    meta, nsl, srow, cidx, (blk2, s, lane2), perm = _slot_pack(K_csr)
+    d64 = K_csr.data[perm].astype(np.float64)
+    d_hi = d64.astype(np.float32)
+    d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
+    vh = np.zeros((meta.n_sb * 8, meta.s_pad, 128), np.float32)
+    vl = np.zeros_like(vh)
+    vh[blk2, s, lane2] = d_hi
+    vl[blk2, s, lane2] = d_lo
+    arrays = dict(
+        nsl=jnp.asarray(nsl),
+        srow=jnp.asarray(srow.reshape(meta.n_sb, 8, meta.s_pad)),
+        cidx=_slot_tile(cidx, meta.n_sb, meta.s_pad),
+        vals_hi=_slot_tile(vh, meta.n_sb, meta.s_pad),
+        vals_lo=_slot_tile(vl, meta.n_sb, meta.s_pad),
+    )
+    return arrays, meta
+
+
+def build_residual_slot_df(gdf):
+    """Assembled strain/force operators for the df32 Newton residual.
+
+    The matrix-free df32 residual (`ops.assembly_df`) is bound by XLA's
+    serialized gather lowering (~8 ns/element: 12.6 ms per strain+force
+    pass at level 3).  Both halves are CONSTANT sparse operators of the
+    mesh (the state dependence is entirely in the return map between
+    them), so they are assembled once on the host in f64 and applied with
+    the double-float slot kernel (`slot_matvec_df`, ~1e-14 relative):
+
+      e_flat = G u      G: (3*n_int, 2*n_n), G[a*n_int+q, dof(e_q,p)] = B[a,p,q]
+      F      = S s_flat S: (2*n_n, 3*n_int), S[dof, a*n_int+q] = w_q B[a,p,q]
+
+    Row/col layout is comp-major, matching the (3, n_int) lane layout
+    reshape.  gdf: an `ops.assembly_df.GeometryDF` (padding slots have
+    zero B/w and are simply absent).  Element ordering should be
+    node-locality-sorted for small slot counts (models/tsx_tunnel.py).
+    Returns (G_arrays, G_meta, S_arrays, S_meta).
+    """
+    import scipy.sparse as sp
+
+    hi = gdf.hi
+    B64 = np.asarray(hi.B, np.float64) + np.asarray(gdf.B_lo, np.float64)
+    w64 = np.asarray(hi.weight, np.float64) + np.asarray(
+        gdf.w_lo, np.float64
+    )
+    edofs = np.asarray(hi.edofs, np.int64)          # (n_e, 2n_p)
+    n_int, n_p2, n_q = hi.n_int, hi.n_p2, hi.n_q
+    n2 = 2 * hi.n_nodes
+    qp = np.arange(n_int, dtype=np.int64)
+    dof_pq = edofs[qp // n_q]                        # (n_int, 2n_p)
+
+    a_ix = np.repeat(np.arange(3, dtype=np.int64), n_p2 * n_int)
+    p_ix = np.tile(np.repeat(np.arange(n_p2, dtype=np.int64), n_int), 3)
+    q_ix = np.tile(qp, 3 * n_p2)
+    vals = B64.reshape(-1)
+    nz = vals != 0.0
+    a_ix, p_ix, q_ix, vals = a_ix[nz], p_ix[nz], q_ix[nz], vals[nz]
+    rows_e = a_ix * n_int + q_ix
+    cols_u = dof_pq[q_ix, p_ix]
+
+    G = sp.coo_matrix(
+        (vals, (rows_e, cols_u)), shape=(3 * n_int, n2)
+    ).tocsr()
+    G.sum_duplicates()
+    S = sp.coo_matrix(
+        (vals * w64[q_ix], (cols_u, rows_e)), shape=(n2, 3 * n_int)
+    ).tocsr()
+    S.sum_duplicates()
+    Ga, Gm = build_slot_df(G)
+    Sa, Sm = build_slot_df(S)
+    return Ga, Gm, Sa, Sm
 
 
 def _slot_kernel(meta: SlotMeta):
@@ -533,6 +619,133 @@ def _slot_kernel(meta: SlotMeta):
         o_ref[...] = acc
 
     return kern
+
+
+def _two_sum(a, b):
+    """Error-free |a|,|b|-unordered f32 sum (Knuth, branch-free)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Error-free f32 product via Dekker splitting.
+
+    Correct with or without compiler mul-add contraction: the 12-bit
+    half-products (ahi*bhi etc.) are exact in f32, so the error chain
+    never relies on an fma being (or not being) emitted.
+    """
+    p = a * b
+    split = jnp.float32(4097.0)  # 2^12 + 1
+    ca = split * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = split * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def _slot_kernel_df(meta: SlotMeta):
+    """Double-float slot matvec: (A_hi+A_lo)(v_hi+v_lo) compensated.
+
+    Per slot: Dekker two-product of the heads, cross terms folded into
+    the error, running two-sum accumulation — the same error-free
+    transforms as `ops/df32.py`, but inside Mosaic where XLA's
+    EFT-destroying rewrites (df32.py hazard note) cannot reach.
+    """
+
+    def kern(
+        nsl_ref, srow_ref, cidx_ref, vh_ref, vl_ref, xh_ref, xl_ref,
+        oh_ref, ol_ref,
+    ):
+        import jax.experimental.pallas as pl
+
+        blk = pl.program_id(0)
+
+        def body(s, carry):
+            acc_hi, acc_lo = carry
+            tile_h = jnp.concatenate(
+                [xh_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+                axis=0,
+            )
+            tile_l = jnp.concatenate(
+                [xl_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+                axis=0,
+            )
+            ci = cidx_ref[0, s]
+            gh = jnp.take_along_axis(tile_h, ci, axis=1)
+            gl = jnp.take_along_axis(tile_l, ci, axis=1)
+            ah = vh_ref[0, s]
+            al = vl_ref[0, s]
+            # DF product (ah+al)*(gh+gl), |al*gl| below the df32 floor
+            p, e = _two_prod(ah, gh)
+            e = e + (ah * gl + al * gh)
+            # accumulate: two-sum of heads, tails folded, renormalized
+            s_hi, s_err = _two_sum(acc_hi, p)
+            t = acc_lo + e + s_err
+            hi = s_hi + t
+            lo = t - (hi - s_hi)
+            return hi, lo
+
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc_hi, acc_lo = jax.lax.fori_loop(
+            0, nsl_ref[blk], body, (zero, zero)
+        )
+        oh_ref[...] = acc_hi
+        ol_ref[...] = acc_lo
+
+    return kern
+
+
+def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
+    """A v in double-float via the compacted-slot Pallas kernel.
+
+    v_hi/v_lo: flat (n_in,) f32 two-float pair.  Returns (out_hi, out_lo)
+    flat (n2,) — ~1e-14-relative accurate (validated vs host f64 in
+    tests/test_spmv.py).  On non-TPU backends runs in interpret mode.
+    """
+    import jax.experimental.pallas as pl
+
+    def pad(v):
+        return (
+            jnp.zeros((meta.vrows * 128,), jnp.float32)
+            .at[: meta.n_in]
+            .set(jnp.asarray(v, jnp.float32))
+            .reshape(meta.vrows, 128)
+        )
+
+    interpret = jax.default_backend() != "tpu"
+    tile = pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0))
+    vec = pl.BlockSpec((meta.vrows, 128), lambda b: (0, 0))
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            _slot_kernel_df(meta),
+            grid=(meta.n_sb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=_smem()),
+                pl.BlockSpec(
+                    (1, 8, meta.s_pad), lambda b: (b, 0, 0),
+                    memory_space=_smem(),
+                ),
+                tile, tile, tile, vec, vec,
+            ],
+            out_specs=[
+                pl.BlockSpec((8, 128), lambda b: (b, 0)),
+                pl.BlockSpec((8, 128), lambda b: (b, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            arrays["nsl"], arrays["srow"], arrays["cidx"],
+            arrays["vals_hi"], arrays["vals_lo"], pad(v_hi), pad(v_lo),
+        )
+    return oh.reshape(-1)[: meta.n2], ol.reshape(-1)[: meta.n2]
 
 
 def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:

@@ -141,6 +141,7 @@ def build_load_stepper(
     mg_preconditioner: Optional[Callable] = None,
     elastic_op=None,
     plastic_cap: Optional[int] = None,
+    df_residual_op=None,
     elastic_factor=None,
     precision: str = "native",
     pin_zeros=None,
@@ -177,6 +178,12 @@ def build_load_stepper(
                   overflow beyond the cap degrades the tangent (never the
                   residual): Newton may take extra iterations but the
                   answer is unchanged.
+      df_residual_op: optional (G_arrays, G_meta, S_arrays, S_meta)
+                  assembled strain/force operators for the df32 residual
+                  (`ops.spmv.build_residual_slot_df`): strains and the
+                  internal force run in the double-float Pallas slot
+                  kernel (~1e-14 relative) instead of the serialized
+                  matrix-free gather path.  Arrays must be jit arguments.
       elastic_factor: prefactored elastic stiffness (cho_factor pair) for
                   the dense solver.  When no integration point is plastic
                   the tangent equals the elastic stiffness bitwise, so the
@@ -242,7 +249,15 @@ def build_load_stepper(
     def return_map(u_flat, ep, zeta, apply=False):
         """-> (s, ds_f32, ind_p, lam, ep'); s/ep are DF pairs in df32 mode."""
         if df_mode:
-            e = adf.strains_df(gdf, u_flat)
+            if df_residual_op is not None:
+                from ..ops import spmv as _spmv
+
+                Ga, Gm, _, _ = df_residual_op
+                eh, el = _spmv.slot_matvec_df(Ga, Gm, u_flat.hi, u_flat.lo)
+                n_i = geom.n_int
+                e = df_barrier(DF(eh.reshape(3, n_i), el.reshape(3, n_i)))
+            else:
+                e = adf.strains_df(gdf, u_flat)
             # df glue chains are pinned like stage outputs (df32.py
             # hazard note): fused into a consumer they lose compensation
             e0 = (
@@ -275,7 +290,16 @@ def build_load_stepper(
     def residual_force(s, zeta):
         """Newton residual F_int - zeta*f_ext; plain array always."""
         if df_mode:
-            f = adf.internal_force_df(gdf, DF(s.hi[:3], s.lo[:3]))
+            if df_residual_op is not None:
+                from ..ops import spmv as _spmv
+
+                _, _, Sa, Sm = df_residual_op
+                fh, fl = _spmv.slot_matvec_df(
+                    Sa, Sm, s.hi[:3].reshape(-1), s.lo[:3].reshape(-1)
+                )
+                f = df_barrier(DF(fh, fl))
+            else:
+                f = adf.internal_force_df(gdf, DF(s.hi[:3], s.lo[:3]))
             if f_ext_dir is not None:
                 f = df_sub(f, df_mul(f_ext_dir, zeta))
             return f.hi

@@ -275,3 +275,105 @@ def test_slot_hierarchy_vcycle_preconditions_cg():
     np.testing.assert_allclose(
         got * free, b * free, atol=2e-4 * np.abs(b).max()
     )
+
+
+# ---------------------------------------------------------------------------
+# double-float slot kernel (build_slot_df / slot_matvec_df)
+# ---------------------------------------------------------------------------
+def _df_split(x64):
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def test_slot_matvec_df_f64_grade(tsx_rcm):
+    """(A_hi+A_lo)(v_hi+v_lo) reaches ~1e-14 relative vs host f64."""
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(60000.0, 0.2)
+    _, _, K = spmv.build_ell_elastic(
+        coords2, elems2, ref, shear, bulk, free=free2
+    )
+    arrays, meta = spmv.build_slot_df(K)
+    rng = np.random.default_rng(9)
+    v64 = rng.standard_normal(meta.n2)
+    vh, vl = _df_split(v64)
+    oh, ol = jax.jit(
+        lambda a, h, l: spmv.slot_matvec_df(a, meta, h, l)
+    )(arrays, vh, vl)
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    exp = K @ v64
+    scale = np.abs(exp).max()
+    # far beyond f32 (which floors at ~2e-6 * scale)
+    np.testing.assert_allclose(got, exp, atol=5e-13 * scale)
+
+
+def test_residual_slot_df_matches_matrix_free(tsx_rcm):
+    """Assembled G/S slot operators == matrix-free df32 strain/force."""
+    from fem_elastoplasticity_tpu.ops import assembly_df as adf
+    from fem_elastoplasticity_tpu.ops.df32 import DF
+
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    gdf = adf.geometry_df(coords2, elems2, ref)
+    Ga, Gm, Sa, Sm = spmv.build_residual_slot_df(gdf)
+    n_int = gdf.hi.n_int
+    n2 = 2 * gdf.hi.n_nodes
+    assert Gm.n2 == 3 * n_int and Gm.n_in == n2
+    assert Sm.n2 == n2 and Sm.n_in == 3 * n_int
+
+    rng = np.random.default_rng(11)
+    u64 = rng.standard_normal(n2) * 1e-3
+    uh, ul = _df_split(u64)
+
+    # host f64 oracle: e = B u per integration point
+    B64 = np.asarray(gdf.hi.B, np.float64) + np.asarray(
+        gdf.B_lo, np.float64
+    )
+    w64 = np.asarray(gdf.hi.weight, np.float64) + np.asarray(
+        gdf.w_lo, np.float64
+    )
+    edofs = np.asarray(gdf.hi.edofs, np.int64)
+    n_q = gdf.hi.n_q
+    ue = u64[edofs[np.arange(n_int) // n_q]]  # (n_int, 2n_p)
+    e_exp = np.einsum("apq,qp->aq", B64, ue)  # (3, n_int)
+
+    eh, el = jax.jit(
+        lambda a, h, l: spmv.slot_matvec_df(a, Gm, h, l)
+    )(Ga, uh, ul)
+    e_got = (
+        np.asarray(eh, np.float64) + np.asarray(el, np.float64)
+    ).reshape(3, n_int)
+    scale_e = np.abs(e_exp).max()
+    np.testing.assert_allclose(e_got, e_exp, atol=5e-13 * scale_e)
+
+    # matrix-free df32 strain path agrees too
+    e_mf = adf.strains_df(gdf, DF(uh, ul))
+    e_mf64 = np.asarray(e_mf.hi, np.float64) + np.asarray(
+        e_mf.lo, np.float64
+    )
+    np.testing.assert_allclose(e_got, e_mf64, atol=5e-13 * scale_e)
+
+    # internal force: F = sum_q w_q B^T s
+    s64 = rng.standard_normal((3, n_int))
+    sh, sl = _df_split(s64)
+    f_exp = np.zeros(n2)
+    wB = B64 * w64[None, None, :]
+    contrib = np.einsum("apq,aq->qp", wB, s64)  # (n_int, 2n_p)
+    np.add.at(
+        f_exp, edofs[np.arange(n_int) // n_q].reshape(-1),
+        contrib.reshape(-1),
+    )
+
+    fh, fl = jax.jit(
+        lambda a, h, l: spmv.slot_matvec_df(a, Sm, h, l)
+    )(Sa, sh.reshape(-1), sl.reshape(-1))
+    f_got = np.asarray(fh, np.float64) + np.asarray(fl, np.float64)
+    scale_f = np.abs(f_exp).max()
+    np.testing.assert_allclose(f_got, f_exp, atol=5e-13 * scale_f)
+
+    f_mf = adf.internal_force_df(gdf, DF(sh, sl))
+    f_mf64 = np.asarray(f_mf.hi, np.float64) + np.asarray(
+        f_mf.lo, np.float64
+    )
+    np.testing.assert_allclose(f_got, f_mf64, atol=5e-13 * scale_f)

@@ -93,6 +93,26 @@ class TestDf32FastPath:
         a = float(result_p1.u[40, 0])
         assert abs(u40 - a) / abs(a) < 1e-9
 
+    def test_assembled_cg_matches_cg(self, result_p1):
+        # assembled-operator CG (config.assembled_cg: host-assembled
+        # elastic slot operator + low-rank plastic correction + df32 slot
+        # residual, RCM-permuted problem): same trajectory and field as
+        # the matrix-free cg path, returned in reference node/element
+        # ordering (the un-permutation covers u AND ep)
+        r = solve(TsxTunnelConfig.fast(solver="cg", assembled_cg=True))
+        assert r.n_steps == 17
+        u = np.asarray(r.u)
+        a = np.asarray(result_p1.u)
+        assert np.abs(u - a).max() / np.abs(a).max() < 1e-9
+        # ep back in element-major reference ordering: compare against the
+        # unpermuted df32 cg run's field
+        r2 = solve(TsxTunnelConfig.fast(solver="cg"))
+        ep, ep2 = np.asarray(r.ep), np.asarray(r2.ep)
+        assert ep.shape == ep2.shape
+        scale = max(np.abs(ep2).max(), 1e-30)
+        assert np.abs(ep - ep2).max() / scale < 1e-6
+        assert np.abs(ep).max() > 0.0
+
     def test_chunked_matches_single_dispatch(self):
         # resume-chunked execution (3 trips/dispatch) is bit-identical to
         # the single-dispatch run — the df32 carry round-trips losslessly
