@@ -39,7 +39,10 @@ def _bench_solve(jax, np):
     from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
     from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
 
-    cfg = TsxTunnelConfig.fast()
+    # assembled_cg on the dense solver = assembled df32 G/S residual
+    # operators (slot Pallas kernels) — measured ~3.4 ms under the
+    # matrix-free residual at this size
+    cfg = TsxTunnelConfig.fast(assembled_cg=True)
     run, args, mesh = tsx.build_df32(cfg)
 
     # warmup + correctness gate
@@ -120,15 +123,14 @@ def _bench_matvec_utilization(jax, np):
     return gdof_s, hbm_frac
 
 
-def _bench_ell_matvec(jax, np):
-    """Assembled windowed-ELL elastic K*u at level 4 (the production
-    operator for large-mesh solves, ops/spmv.py): GDOF/s + HBM fraction
-    from the actual operator array traffic."""
+def _bench_assembled_matvec(jax, np):
+    """Assembled compacted-slot elastic K*u at level 4 (the production
+    operator for large-mesh solves, ops/spmv.py build_slot): GDOF/s +
+    HBM fraction from the actual operator array traffic."""
     import time
 
     import jax.numpy as jnp
 
-    from fem_elastoplasticity_tpu.mesh.refine import refine_uniform
     from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
     from fem_elastoplasticity_tpu.models.materials import lame_moduli
     from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
@@ -143,14 +145,16 @@ def _bench_ell_matvec(jax, np):
     c2, e2, _ = spmv.permute_mesh(
         np.asarray(mesh.coords), np.asarray(mesh.elems), order
     )
-    arrays, meta, _ = spmv.build_ell_elastic(c2, e2, ref, shear, bulk)
+    arrays, meta, _ = spmv.build_ell_elastic(
+        c2, e2, ref, shear, bulk, fmt="slot"
+    )
     v = jnp.ones((meta.n2,), jnp.float32)
     n_iters = 50
 
     @jax.jit
     def apply_n(arrays, v):
         def body(_, x):
-            w = spmv.ell_matvec(arrays, meta, x)
+            w = spmv.sp_matvec(arrays, meta, x)
             return w / (1.0 + jnp.abs(w).max())
 
         return jax.lax.fori_loop(0, n_iters, body, v)
@@ -162,8 +166,9 @@ def _bench_ell_matvec(jax, np):
 
     gdof_s = meta.n2 / wall / 1e9
     traffic = (
-        arrays["li"].size * 4
+        arrays["cidx"].size * 4
         + arrays["vals"].size * 4
+        + arrays["srow"].size * 4
         + 2 * meta.n2 * 4  # input read + output write
     )
     return gdof_s, (traffic / wall) / V5E_HBM_BYTES_S
@@ -177,7 +182,7 @@ def main() -> None:
 
     wall, rel_err = _bench_solve(jax, np)
     gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
-    ell_gdof_s, ell_hbm_frac = _bench_ell_matvec(jax, np)
+    ell_gdof_s, ell_hbm_frac = _bench_assembled_matvec(jax, np)
 
     print(
         json.dumps(
@@ -190,8 +195,8 @@ def main() -> None:
                 "rel_err_vs_f64_trajectory": rel_err,
                 "gdof_per_s_matvec_l4": gdof_s,
                 "hbm_utilization_matvec_l4": hbm_frac,
-                "gdof_per_s_ell_matvec_l4": ell_gdof_s,
-                "hbm_utilization_ell_matvec_l4": ell_hbm_frac,
+                "gdof_per_s_assembled_matvec_l4": ell_gdof_s,
+                "hbm_utilization_assembled_matvec_l4": ell_hbm_frac,
             }
         )
     )

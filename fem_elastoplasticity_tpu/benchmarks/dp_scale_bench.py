@@ -59,7 +59,13 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
         chunked = level >= 4
         if chunked:
             t0 = time.perf_counter()
-            execute, mesh = tsx.build_df32_chunked(cfg, trips_per_chunk=3)
+            # level 5: one trip per dispatch + split predictor keeps every
+            # dispatch under the tunnel's long-dispatch abort (~1-2 min)
+            execute, mesh = tsx.build_df32_chunked(
+                cfg,
+                trips_per_chunk=1 if level >= 5 else 3,
+                split_predictor=level >= 5,
+            )
             t_setup = time.perf_counter() - t0
 
             t0 = time.perf_counter()

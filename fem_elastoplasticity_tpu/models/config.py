@@ -120,13 +120,15 @@ class TsxTunnelConfig:
     # ops per row; 2.6x faster matvec at 910k DOFs)
     spmv_fmt: str = "slot"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
-    # solver="cg" + precision="df32": assemble the elastic stiffness once
-    # on the host into the compacted-slot Pallas format and run tangent CG
-    # as K_elastic + a low-rank plastic correction, with the Newton
-    # residual on assembled df32 G/S slot operators — replaces the
-    # serialized matrix-free gather path for ANY element type (the ell
-    # solver is the P1-multigrid variant).  The problem is permuted onto
-    # an RCM locality node ordering (result mesh/u included, like ell).
+    # precision="df32": assembled host-built Pallas slot operators.
+    # solver="cg": tangent CG runs as K_elastic (compacted-slot matvec) +
+    # a low-rank plastic correction, and the Newton residual on assembled
+    # df32 G/S slot operators — replaces the serialized matrix-free
+    # gather path for ANY element type (the ell solver is the
+    # P1-multigrid variant); the problem is permuted onto an RCM locality
+    # node ordering (result mesh/u/ep restored, like ell).
+    # solver="dense": only the df32 G/S residual operators are assembled
+    # (no permutation; the tangent stays the dense factor path).
     assembled_cg: bool = False
     # iterative tangent solves (solver="cg"/"mg"); cg_tol None resolves to
     # 1e-14 (native f64) / 2e-7 (df32 — the f32 PCG residual floor; the

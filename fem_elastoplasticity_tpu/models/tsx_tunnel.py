@@ -443,7 +443,9 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         # integration-point restore map: sorted[k] = original[esort[k]]
         extras["elem_sort"] = (esort, int(gdf.hi.n_q), int(gdf.hi.n_real))
     res_metas = None
-    if cfg.solver == "ell" or elastic_slot is not None:
+    if cfg.solver == "ell" or elastic_slot is not None or (
+        cfg.solver == "dense" and cfg.assembled_cg
+    ):
         # assembled df32 strain/force operators for the Newton residual
         # (host setup; the mesh was locality-permuted + element-sorted)
         from ..ops import spmv as _spmv_mod
@@ -490,6 +492,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         args["G_slot"], args["S_slot"] = _Ga, _Sa
     if elastic_slot is not None:
         args["K_slot"] = elastic_slot[0]
+    if res_metas is not None and cfg.solver != "ell":
         args["G_slot"], args["S_slot"] = _Ga, _Sa
     if cfg.support_pressure != 0.0:
         # setup-time f64 traction on host CPU, split exactly into a DF pair

@@ -459,8 +459,11 @@ def _slot_pack(K_csr):
     # slot id: rank of (r, k) within each block, ordered by (r, k)
     o2 = np.lexsort((k, r, blk))
     blk2, lane2, r2, c2, k2 = blk[o2], lane[o2], r[o2], c[o2], k[o2]
-    key_brk = (blk2 * vrows + r2) * 64 + k2  # k < 64 always (dups per row)
-    assert int(k2.max(initial=0)) < 64
+    # radix for exact (blk, r, k) key packing (k can exceed the typical
+    # P1 bound of ~64 for high-order elements: a P4 row reaches ~100+
+    # entries inside one 128-column tile under locality ordering)
+    k_radix = int(k2.max(initial=0)) + 1
+    key_brk = (blk2 * vrows + r2) * k_radix + k2
     new2 = np.ones(key_brk.shape[0], bool)
     new2[1:] = key_brk[1:] != key_brk[:-1]
     # slot index = number of distinct (r,k) seen so far within the block

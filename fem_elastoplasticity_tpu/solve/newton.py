@@ -355,20 +355,27 @@ def build_load_stepper(
         iterative solve hit its cap without converging (treated as
         divergence by the caller, like the NaN guard)."""
         if solver == "dense":
-            ke = asm.element_stiffness(geom, d)
-            K_free = asm.assemble_dense_free(ke, geom, fmap, n_free)
-            if axis_name is not None:
-                K_free = jax.lax.psum(K_free, axis_name)
             rhs = -f_int[free_idx]
+
+            def assemble_K():
+                ke = asm.element_stiffness(geom, d)
+                K_free = asm.assemble_dense_free(ke, geom, fmap, n_free)
+                if axis_name is not None:
+                    K_free = jax.lax.psum(K_free, axis_name)
+                return K_free
+
             # Cholesky: the consistent tangent is symmetric PSD (associated
             # flow); TPU XLA implements f64 cholesky/triangular_solve but
             # not LU.  An indefinite matrix yields NaN -> the NaN guard
             # treats it as divergence, like the reference (P:1076-1078).
-            mixed = dense_mode == "mixed" and K_free.dtype == jnp.float64
+            # Assembly happens INSIDE the fresh branch: elastic-reuse
+            # iterations (the majority) skip the per-iteration element
+            # stiffness + dense scatter entirely (~0.3 ms each at n=908).
+            mixed = dense_mode == "mixed" and dtype == jnp.float64
             fresh = (
-                (lambda: _spd_solve_mixed(K_free, rhs))
+                (lambda: _spd_solve_mixed(assemble_K(), rhs))
                 if mixed
-                else (lambda: _spd_solve(K_free, rhs))
+                else (lambda: _spd_solve(assemble_K(), rhs))
             )
             if elastic_factor is None:
                 dU_free = fresh()

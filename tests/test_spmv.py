@@ -377,3 +377,28 @@ def test_residual_slot_df_matches_matrix_free(tsx_rcm):
         f_mf.lo, np.float64
     )
     np.testing.assert_allclose(f_got, f_mf64, atol=5e-13 * scale_f)
+
+
+def test_slot_matvec_high_dup_rows():
+    """Rows with >64 entries inside one 128-column tile (P4-like row
+    degree under locality ordering) pack and apply correctly — the dup
+    radix is data-derived, not capped."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(13)
+    n = 256
+    rows, cols = [], []
+    for i in range(n):
+        # every row reads 100 consecutive columns from its own tile
+        base = (i // 128) * 128
+        rows.extend([i] * 100)
+        cols.extend((base + (i + j) % 128) for j in range(100))
+    M = sp.coo_matrix(
+        (rng.standard_normal(len(rows)), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    M.sum_duplicates()
+    arrays, meta = spmv.build_slot(M)
+    v = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(spmv.slot_matvec(arrays, meta, jnp.asarray(v)))
+    exp = M @ v.astype(np.float64)
+    np.testing.assert_allclose(got, exp, atol=2e-6 * np.abs(exp).max())
