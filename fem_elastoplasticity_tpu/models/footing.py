@@ -193,7 +193,7 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
     from ..solve.newton import NewtonSettings, build_load_stepper
     from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
 
-    assert cfg.solver == "dense", "df32 fast path uses the dense solver"
+    assert cfg.solver in ("dense", "cg"), cfg.solver
     mesh = build_mesh(cfg)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
@@ -208,6 +208,9 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
 
     footing_nodes = jnp.asarray(mesh.dirichlet[:, 1] > 0)
     n_footing = int((mesh.dirichlet[:, 1] > 0).sum())
+    # f32 PCG floor (the df32 residual/criterion still deliver the f64
+    # stopping behavior — inexact Newton)
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else 2e-7
 
     settings = NewtonSettings(
         maxit=cfg.newton_maxit,
@@ -247,23 +250,48 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         dir_df = DF(a["dirichlet"], jnp.zeros_like(a["dirichlet"]))
         ud = df_mul(dir_df, DF(-d_zeta.hi, -d_zeta.lo))
         D = elastic_tangent_lanes(shear, bulk, n_int, f32)
-        ke = asm.element_stiffness(g.hi, D)
-        K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
-        # explicit Jacobi-scaled elastic inverse: elastic Newton iterations
-        # as one MXU matmul (see models/tsx_tunnel.py build_df32)
-        dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
-        Ks = K_free * dsc[:, None] * dsc[None, :]
-        Ki = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Ks), jnp.eye(n_free, dtype=f32)
-        )
-        Ki = Ki * dsc[:, None] * dsc[None, :]
         zero_f = DF(
             jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
         )
-        U_it0 = adf.refine_elastic_solve_df(
-            g, cho, a["free_idx"], ud, zero_f, shear, bulk
-        )
+        Ki = None
+        if cfg.solver == "dense":
+            ke = asm.element_stiffness(g.hi, D)
+            K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            # explicit Jacobi-scaled elastic inverse: elastic Newton
+            # iterations as one MXU matmul (models/tsx_tunnel.py build_df32)
+            dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
+            Ks = K_free * dsc[:, None] * dsc[None, :]
+            Ki = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Ks), jnp.eye(n_free, dtype=f32)
+            )
+            Ki = Ki * dsc[:, None] * dsc[None, :]
+            U_it0 = adf.refine_elastic_solve_df(
+                g, cho, a["free_idx"], ud, zero_f, shear, bulk
+            )
+        else:
+            # matrix-free df32 predictor with the Dirichlet lift: the
+            # initial iterate is U = ud (exact on constrained DOFs); df32
+            # iterative refinement drives K U -> 0 on the free subspace
+            # with f32 block-Jacobi PCG inner solves (ROADMAP r2 #9)
+            from ..solve.cg import block_jacobi_preconditioner, solve_cg
+
+            fmask = (
+                jnp.zeros((2 * n_nodes,), bool).at[a["free_idx"]].set(True)
+            )
+            blocks = asm.node_block_diagonal(g.hi, D)
+            pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
+
+            def solve_fn(r_hi):
+                return solve_cg(
+                    lambda v: asm.tangent_matvec(g.hi, D, v),
+                    r_hi, fmask, precond=pre, tol=cg_tol,
+                    maxiter=cfg.cg_maxiter, structure=cfg.cg_structure,
+                ).x
+
+            U_it0 = adf.refine_elastic_solve_with(
+                g, solve_fn, ud, zero_f, shear, bulk
+            )
 
         def monitor(u, s):
             # normalized mean footing pressure (P:1105-1107), f32 head
@@ -287,9 +315,12 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
             e0_dir=None,
             monitor=monitor,
             accept_hook=accept_hook,
-            solver="dense",
+            solver=cfg.solver,
+            cg_tol=cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+            cg_structure=cfg.cg_structure,
             apex_ep_uses_trial=cfg.bug_compatible_apex,
-            elastic_factor=("inv", Ki),
+            elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             precision="df32",
             pin_zeros=a["pinz"],
         )

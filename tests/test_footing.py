@@ -106,6 +106,19 @@ class TestFastPath:
         )
         assert p_rel < 1e-5
 
+    def test_df32_cg_limit_pressure(self):
+        """df32 with matrix-free block-Jacobi PCG tangent solves (the
+        large-mesh footing path, ROADMAP r2 #9): the inexact tangents at
+        nu=0.48 cost extra adaptive steps (26 vs dense 16; native f64 cg
+        takes 28 — a solver characteristic, not a df32 artifact) but the
+        run completes to zeta=1 with the same bearing-capacity limit."""
+        rf = solve(FootingConfig.fast(solver="cg"))
+        r64 = solve(FootingConfig())
+        assert np.asarray(rf.zeta_hist).max() >= 1.0
+        p = float(rf.pressure_hist[rf.n_steps])
+        p64 = float(r64.pressure_hist[16])
+        assert abs(p - p64) / p64 < 5e-4
+
     def test_fast_f32_preset_limit_pressure(self):
         """Pure-f32 path: schedule differs (f32 criterion floor) but the
         bearing-capacity limit matches the f64 run to ~1e-4."""
