@@ -15,12 +15,13 @@ weak #3).
 
 Run on TPU:  python -m fem_elastoplasticity_tpu.benchmarks.dp_scale_bench [levels...]
 
-Measured (2026-08-16, v5e single chip, warm walls, median of 3):
+Measured (2026-08-17, v5e single chip, warm walls, median of 3,
+solver="ell" + assembled df32 slot residual):
 
-  level  elems   DOFs    wall    steps/its  plastic  u40
-  1      3.5k    3.7k    1.43 s  17/42      20       -2.166787e-3
-  2      14.2k   14.5k   8.41 s  17/48      82       -2.237798e-3
-  3      56.8k   57.3k   44.3 s  17/49      379      -2.258740e-3
+  level  elems   DOFs    wall     steps/its  plastic  u40
+  1      3.5k    3.7k    0.19 s   17/37      20       -2.166787e-3
+  2      14.2k   14.5k   0.57 s   17/42      82       -2.237798e-3
+  3      56.8k   57.3k   2.81 s   17/48      379      -2.258740e-3
 
 (u40 converges toward the P4 high-order value -2.267e-3 under
 refinement — the plastic zone is progressively better resolved.)

@@ -447,10 +447,16 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         cfg.solver == "dense" and cfg.assembled_cg
     ):
         # assembled df32 strain/force operators for the Newton residual
-        # (host setup; the mesh was locality-permuted + element-sorted)
+        # (host setup; the mesh was locality-permuted + element-sorted).
+        # Large levels use the windowed-ELL df layout: the slot layout's
+        # global padding (n_sb * max-block-slots) inflates to GBs at
+        # level >= 4, stressing HBM and the tunnel transfer.
         from ..ops import spmv as _spmv_mod
 
-        _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(gdf)
+        _res_fmt = "slot" if gdf.hi.n_int < 100_000 else "ell"
+        _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(
+            gdf, fmt=_res_fmt
+        )
         res_metas = (_Gm, _Sm)
     monitor_dof = 2 * monitor_node
     f32 = jnp.float32
@@ -707,6 +713,11 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 if res_metas is not None else None
             ),
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
+            # Woodbury plastic solves: the tsx plastic set is tiny (3 of
+            # ~1k points at level 0), so plastic iterations become MXU
+            # matmuls against the explicit elastic inverse (newton.py
+            # smw_cap) instead of fresh assembly + Cholesky
+            smw_cap=64 if cfg.solver == "dense" else None,
             precision="df32",
             pin_zeros=a["pinz"],
             accumulate_ep=not cfg.bug_compatible_ep_reset,

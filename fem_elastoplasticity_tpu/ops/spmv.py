@@ -545,7 +545,186 @@ def build_slot_df(K_csr):
     return arrays, meta
 
 
-def build_residual_slot_df(gdf):
+class EllDfMeta(NamedTuple):
+    """Static metadata of a double-float windowed-ELL operator.
+
+    `ov` is the SlotMeta of the exact overflow side operator (entries
+    outside the window cap run through `slot_matvec_df`, preserving the
+    compensated accumulation — a plain XLA scatter-add side path would
+    break the ~1e-14 accuracy of rows containing overflow entries).
+    """
+
+    ell: EllMeta
+    ov: Optional[SlotMeta]
+
+
+def build_ell_df(K_csr, max_overflow_frac=0.005):
+    """CSR (f64 values) -> windowed-ELL arrays for `ell_matvec_df`.
+
+    The dense-in-rows ELL layout stores deg*n2_pad value pairs — for the
+    low-degree residual operators (G: 2n_p entries/row) this is ~an order
+    of magnitude smaller than the compacted-slot layout, whose padded
+    size is n_sb * max-block-slots (outlier blocks inflate every block).
+    Window selection is structure-only, so the hi and lo value streams
+    share one `build_ell` layout.
+    """
+    import scipy.sparse as sp
+
+    d64 = K_csr.data.astype(np.float64)
+    d_hi = d64.astype(np.float32)
+    d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
+    Kh = sp.csr_matrix(
+        (d_hi.astype(np.float64), K_csr.indices, K_csr.indptr),
+        shape=K_csr.shape,
+    )
+    Kl = sp.csr_matrix(
+        (d_lo.astype(np.float64), K_csr.indices, K_csr.indptr),
+        shape=K_csr.shape,
+    )
+    ah, meta = build_ell(Kh, np.float32, max_overflow_frac)
+    al, meta_l = build_ell(Kl, np.float32, max_overflow_frac)
+    assert meta_l == meta  # same structure -> same layout
+    arrays = dict(
+        w0=ah["w0"], li=ah["li"],
+        vals_hi=ah["vals"], vals_lo=al["vals"],
+    )
+    ov = None
+    if meta.n_overflow:
+        # exact df32 side path: slot-df operator over the overflow COO
+        ov_r = np.asarray(ah["ov_r"], np.int64)
+        ov_c = np.asarray(ah["ov_c"], np.int64)
+        ov_v = np.asarray(ah["ov_v"], np.float64) + np.asarray(
+            al["ov_v"], np.float64
+        )
+        Kov = sp.coo_matrix(
+            (ov_v, (ov_r, ov_c)), shape=K_csr.shape
+        ).tocsr()
+        Kov.sum_duplicates()
+        ov_arrays, ov_meta = build_slot_df(Kov)
+        for k, v in ov_arrays.items():
+            arrays["ovdf_" + k] = v
+        ov = ov_meta
+    return arrays, EllDfMeta(ell=meta, ov=ov)
+
+
+def _ell_kernel_df(meta: EllMeta, deg: int):
+    """Double-float windowed-ELL matvec (see `_slot_kernel_df` for the
+    error-free-transform details; same math, ELL traversal)."""
+    J = meta.J
+
+    def kern(w0_ref, li_ref, vh_ref, vl_ref, xh_ref, xl_ref, oh_ref, ol_ref):
+        import jax.experimental.pallas as pl
+
+        blk = pl.program_id(0)
+        DR = li_ref.shape[1]
+
+        def group_body(g, _):
+            w = w0_ref[blk * GPB + g]
+            lid = li_ref[g]  # (deg*RPG, 128)
+            r = lid >> 7
+            c = lid & 127
+
+            def j_body(jj, carry):
+                gh, gl = carry
+                rowh = xh_ref[pl.ds(w + jj, 1), :]
+                rowl = xl_ref[pl.ds(w + jj, 1), :]
+                gath = jnp.take_along_axis(
+                    jnp.broadcast_to(rowh, (DR, 128)), c, axis=1
+                )
+                gatl = jnp.take_along_axis(
+                    jnp.broadcast_to(rowl, (DR, 128)), c, axis=1
+                )
+                m = r == jj
+                return jnp.where(m, gath, gh), jnp.where(m, gatl, gl)
+
+            zero = jnp.zeros((DR, 128), jnp.float32)
+            gh, gl = jax.lax.fori_loop(0, J, j_body, (zero, zero))
+            ah = vh_ref[g]
+            al = vl_ref[g]
+            p, e = _two_prod(ah, gh)
+            e = e + (ah * gl + al * gh)
+            p3 = p.reshape(deg, RPG, 128)
+            e3 = e.reshape(deg, RPG, 128)
+            acc_hi = jnp.zeros((RPG, 128), jnp.float32)
+            acc_lo = jnp.zeros((RPG, 128), jnp.float32)
+            for d in range(deg):  # static unroll: compensated reduction
+                s_hi, s_err = _two_sum(acc_hi, p3[d])
+                t = acc_lo + e3[d] + s_err
+                acc_hi = s_hi + t
+                acc_lo = t - (acc_hi - s_hi)
+            oh_ref[pl.ds(g * RPG, RPG), :] = acc_hi
+            ol_ref[pl.ds(g * RPG, RPG), :] = acc_lo
+            return 0
+
+        jax.lax.fori_loop(0, GPB, group_body, 0)
+
+    return kern
+
+
+def ell_matvec_df(arrays: dict, meta: EllDfMeta, v_hi, v_lo):
+    """A v in double-float via the windowed-ELL Pallas kernel.
+
+    Returns (out_hi, out_lo) flat (n2,), ~1e-14-relative (validated in
+    tests/test_spmv.py).  Window-overflow entries run through the exact
+    slot-df side operator and are df-added to the kernel output.
+    """
+    import jax.experimental.pallas as pl
+
+    em = meta.ell
+    xh = _pad_vec(v_hi, em)
+    xl = _pad_vec(v_lo, em)
+    DR = arrays["li"].shape[1]
+    interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            _ell_kernel_df(em, em.deg),
+            grid=(em.n_groups // GPB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=_smem()),
+                pl.BlockSpec((GPB, DR, 128), lambda b: (b, 0, 0)),
+                pl.BlockSpec((GPB, DR, 128), lambda b: (b, 0, 0)),
+                pl.BlockSpec((GPB, DR, 128), lambda b: (b, 0, 0)),
+                pl.BlockSpec((em.vrows, 128), lambda b: (0, 0)),
+                pl.BlockSpec((em.vrows, 128), lambda b: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((GPB * RPG, 128), lambda b: (b, 0)),
+                pl.BlockSpec((GPB * RPG, 128), lambda b: (b, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((em.n2r, 128), jnp.float32),
+                jax.ShapeDtypeStruct((em.n2r, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            arrays["w0"], arrays["li"], arrays["vals_hi"],
+            arrays["vals_lo"], xh, xl,
+        )
+    oh = oh.reshape(-1)[: em.n2]
+    ol = ol.reshape(-1)[: em.n2]
+    if meta.ov is not None:
+        from .df32 import DF, df_add, df_barrier
+
+        ov_arrays = {
+            k[len("ovdf_"):]: v
+            for k, v in arrays.items()
+            if k.startswith("ovdf_")
+        }
+        ovh, ovl = slot_matvec_df(ov_arrays, meta.ov, v_hi, v_lo)
+        out = df_barrier(df_add(DF(oh, ol), DF(ovh, ovl)))
+        return out.hi, out.lo
+    return oh, ol
+
+
+def sp_matvec_df(arrays: dict, meta, v_hi, v_lo):
+    """Format-generic double-float A v: dispatches on the meta type."""
+    if isinstance(meta, EllDfMeta):
+        return ell_matvec_df(arrays, meta, v_hi, v_lo)
+    assert isinstance(meta, SlotMeta), meta
+    return slot_matvec_df(arrays, meta, v_hi, v_lo)
+
+
+def build_residual_slot_df(gdf, fmt: str = "slot"):
     """Assembled strain/force operators for the df32 Newton residual.
 
     The matrix-free df32 residual (`ops.assembly_df`) is bound by XLA's
@@ -553,7 +732,7 @@ def build_residual_slot_df(gdf):
     pass at level 3).  Both halves are CONSTANT sparse operators of the
     mesh (the state dependence is entirely in the return map between
     them), so they are assembled once on the host in f64 and applied with
-    the double-float slot kernel (`slot_matvec_df`, ~1e-14 relative):
+    the double-float kernels (`sp_matvec_df`, ~1e-14 relative):
 
       e_flat = G u      G: (3*n_int, 2*n_n), G[a*n_int+q, dof(e_q,p)] = B[a,p,q]
       F      = S s_flat S: (2*n_n, 3*n_int), S[dof, a*n_int+q] = w_q B[a,p,q]
@@ -562,6 +741,9 @@ def build_residual_slot_df(gdf):
     reshape.  gdf: an `ops.assembly_df.GeometryDF` (padding slots have
     zero B/w and are simply absent).  Element ordering should be
     node-locality-sorted for small slot counts (models/tsx_tunnel.py).
+    fmt: "slot" (compacted-slot; fastest at small/mid mesh sizes) or
+    "ell" (windowed-ELL df; ~10x smaller arrays — large levels, where
+    the slot layout's global padding inflates past HBM/tunnel comfort).
     Returns (G_arrays, G_meta, S_arrays, S_meta).
     """
     import scipy.sparse as sp
@@ -594,8 +776,9 @@ def build_residual_slot_df(gdf):
         (vals * w64[q_ix], (cols_u, rows_e)), shape=(n2, 3 * n_int)
     ).tocsr()
     S.sum_duplicates()
-    Ga, Gm = build_slot_df(G)
-    Sa, Sm = build_slot_df(S)
+    build = build_slot_df if fmt == "slot" else build_ell_df
+    Ga, Gm = build(G)
+    Sa, Sm = build(S)
     return Ga, Gm, Sa, Sm
 
 

@@ -248,6 +248,13 @@ def solve_tsx_ensemble_df32(
                     monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
                     solver="dense",
                     elastic_factor=("inv", Ki),
+                    # under vmap the plastic/elastic cond becomes a select
+                    # (both branches run for every member), so the Woodbury
+                    # solve replaces 64 batched O(n^3) assembly+factor
+                    # passes per Newton iteration with batched MXU matmuls
+                    # against the SHARED elastic inverse (members differ
+                    # only in cohesion/friction, not elastic moduli)
+                    smw_cap=128,  # headroom for weak-material members
                     precision="df32",
                     pin_zeros=a["pinz"],
                     accumulate_ep=not cfg.bug_compatible_ep_reset,

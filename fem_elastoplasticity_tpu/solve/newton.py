@@ -142,6 +142,7 @@ def build_load_stepper(
     elastic_op=None,
     plastic_cap: Optional[int] = None,
     df_residual_op=None,
+    smw_cap: Optional[int] = None,
     elastic_factor=None,
     precision: str = "native",
     pin_zeros=None,
@@ -184,6 +185,12 @@ def build_load_stepper(
                   internal force run in the double-float Pallas slot
                   kernel (~1e-14 relative) instead of the serialized
                   matrix-free gather path.  Arrays must be jit arguments.
+      smw_cap:    dense solver + ("inv", Ki) elastic factor only: plastic
+                  Newton solves use the Woodbury identity over a
+                  `smw_cap`-sized plastic slot set (MXU matmuls + a tiny
+                  capacitance LU) instead of fresh assembly + Cholesky.
+                  Appropriate when the plastic fraction is small (tsx);
+                  overflow degrades the tangent only.  None = fresh factor.
       elastic_factor: prefactored elastic stiffness (cho_factor pair) for
                   the dense solver.  When no integration point is plastic
                   the tangent equals the elastic stiffness bitwise, so the
@@ -253,7 +260,7 @@ def build_load_stepper(
                 from ..ops import spmv as _spmv
 
                 Ga, Gm, _, _ = df_residual_op
-                eh, el = _spmv.slot_matvec_df(Ga, Gm, u_flat.hi, u_flat.lo)
+                eh, el = _spmv.sp_matvec_df(Ga, Gm, u_flat.hi, u_flat.lo)
                 n_i = geom.n_int
                 e = df_barrier(DF(eh.reshape(3, n_i), el.reshape(3, n_i)))
             else:
@@ -294,7 +301,7 @@ def build_load_stepper(
                 from ..ops import spmv as _spmv
 
                 _, _, Sa, Sm = df_residual_op
-                fh, fl = _spmv.slot_matvec_df(
+                fh, fl = _spmv.sp_matvec_df(
                     Sa, Sm, s.hi[:3].reshape(-1), s.lo[:3].reshape(-1)
                 )
                 f = df_barrier(DF(fh, fl))
@@ -391,6 +398,63 @@ def build_load_stepper(
                 ):
                     Ki = elastic_factor[1]
                     reuse = lambda: Ki @ rhs
+                    if smw_cap is not None and ind_p is not None:
+                        # Woodbury plastic solve: K_t = K_e + U C U^T with
+                        # C = blockdiag(w_p (d_p - d_el)) supported on the
+                        # static plastic slot set, so
+                        #   K_t^{-1} r = Ki r - Ki U (I + C U^T Ki U)^{-1}
+                        #               C U^T Ki r
+                        # (push-through identity; no C^{-1}, so singular
+                        # per-point corrections are fine).  Plastic
+                        # iterations become MXU matmuls + one (3P)^2 f32 LU
+                        # instead of a fresh O(n^3) assembly+factor.
+                        # Slot overflow beyond smw_cap degrades the tangent
+                        # only (extra Newton iterations, never accuracy).
+                        def smw():
+                            d_el = elastic_tangent_lanes(
+                                shear, bulk, geom.n_int, dtype
+                            )
+                            idx_p, valid_p = asm.plastic_slots(
+                                ind_p, smw_cap
+                            )
+                            Bp, wdelta, edp = asm.plastic_correction_gather(
+                                geom, d - d_el, idx_p, valid_p
+                            )
+                            P = smw_cap
+                            n_p2 = Bp.shape[1]
+                            cols = (
+                                jnp.arange(3)[:, None, None] * P
+                                + jnp.arange(P)[None, None, :]
+                            )
+                            cols = jnp.broadcast_to(cols, (3, n_p2, P))
+                            rows = jnp.broadcast_to(
+                                edp[None], (3, n_p2, P)
+                            )
+                            U = (
+                                jnp.zeros((n_dofs, 3 * P), dtype)
+                                .at[rows.reshape(-1), cols.reshape(-1)]
+                                .add(Bp.reshape(-1))
+                            )
+                            Uf = U[free_idx]
+                            KiU = Ki @ Uf  # (n_free, 3P)
+                            M = Uf.T @ KiU  # (3P, 3P)
+                            CM = jnp.einsum(
+                                "abp,bpj->apj",
+                                wdelta,
+                                M.reshape(3, P, 3 * P),
+                            )
+                            A = jnp.eye(3 * P, dtype=dtype) + CM.reshape(
+                                3 * P, 3 * P
+                            )
+                            z = Ki @ rhs
+                            t = Uf.T @ z
+                            Ct = jnp.einsum(
+                                "abp,bp->ap", wdelta, t.reshape(3, P)
+                            ).reshape(-1)
+                            y = jnp.linalg.solve(A, Ct)
+                            return z - KiU @ y
+
+                        fresh = smw
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
                         elastic_factor, rhs

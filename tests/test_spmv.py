@@ -402,3 +402,55 @@ def test_slot_matvec_high_dup_rows():
     got = np.asarray(spmv.slot_matvec(arrays, meta, jnp.asarray(v)))
     exp = M @ v.astype(np.float64)
     np.testing.assert_allclose(got, exp, atol=2e-6 * np.abs(exp).max())
+
+
+def test_ell_matvec_df_f64_grade(tsx_rcm):
+    """Windowed-ELL double-float kernel reaches ~1e-14 vs host f64,
+    including the exact slot-df overflow side path."""
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(60000.0, 0.2)
+    _, _, K = spmv.build_ell_elastic(
+        coords2, elems2, ref, shear, bulk, free=free2
+    )
+    # tight overflow budget forces a nonempty overflow side operator
+    arrays, meta = spmv.build_ell_df(K, max_overflow_frac=0.0001)
+    rng = np.random.default_rng(17)
+    v64 = rng.standard_normal(meta.ell.n_in)
+    vh, vl = _df_split(v64)
+    oh, ol = jax.jit(
+        lambda a, h, l: spmv.ell_matvec_df(a, meta, h, l)
+    )(arrays, vh, vl)
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    exp = K @ v64
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(got, exp, atol=5e-13 * scale)
+
+
+def test_residual_ell_df_matches_slot(tsx_rcm):
+    """fmt='ell' residual operators agree with fmt='slot' to the df floor."""
+    from fem_elastoplasticity_tpu.ops import assembly_df as adf
+
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    gdf = adf.geometry_df(coords2, elems2, ref)
+    Ga, Gm, Sa, Sm = spmv.build_residual_slot_df(gdf, fmt="slot")
+    Ge, Gme, Se, Sme = spmv.build_residual_slot_df(gdf, fmt="ell")
+    rng = np.random.default_rng(19)
+    u64 = rng.standard_normal(2 * gdf.hi.n_nodes) * 1e-3
+    uh, ul = _df_split(u64)
+    a_h, a_l = spmv.sp_matvec_df(Ga, Gm, uh, ul)
+    b_h, b_l = spmv.sp_matvec_df(Ge, Gme, uh, ul)
+    a = np.asarray(a_h, np.float64) + np.asarray(a_l, np.float64)
+    b = np.asarray(b_h, np.float64) + np.asarray(b_l, np.float64)
+    scale = max(np.abs(a).max(), 1e-30)
+    np.testing.assert_allclose(b, a, atol=1e-12 * scale)
+
+    s64 = rng.standard_normal(3 * gdf.hi.n_int)
+    sh, sl = _df_split(s64)
+    a_h, a_l = spmv.sp_matvec_df(Sa, Sm, sh, sl)
+    b_h, b_l = spmv.sp_matvec_df(Se, Sme, sh, sl)
+    a = np.asarray(a_h, np.float64) + np.asarray(a_l, np.float64)
+    b = np.asarray(b_h, np.float64) + np.asarray(b_l, np.float64)
+    scale = max(np.abs(a).max(), 1e-30)
+    np.testing.assert_allclose(b, a, atol=1e-12 * scale)
