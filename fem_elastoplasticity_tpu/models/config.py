@@ -119,6 +119,11 @@ class TsxTunnelConfig:
     # ELL) or "slot" (compacted-slot, ops/spmv.py build_slot — fewer VPU
     # ops per row; 2.6x faster matvec at 910k DOFs)
     spmv_fmt: str = "slot"
+    # df32 residual operator format: None = auto ("slot" below 100k
+    # integration points, "ell" above — the slot layout's global padding
+    # inflates to GBs at level >= 4 and large device_puts can kill the
+    # tunnel worker); "slot" | "ell" to force
+    residual_fmt: str = None
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # precision="df32": assembled host-built Pallas slot operators.
     # solver="cg": tangent CG runs as K_elastic (compacted-slot matvec) +

@@ -453,7 +453,9 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         # level >= 4, stressing HBM and the tunnel transfer.
         from ..ops import spmv as _spmv_mod
 
-        _res_fmt = "slot" if gdf.hi.n_int < 100_000 else "ell"
+        _res_fmt = cfg.residual_fmt or (
+            "slot" if gdf.hi.n_int < 100_000 else "ell"
+        )
         _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(
             gdf, fmt=_res_fmt
         )

@@ -113,6 +113,20 @@ class TestDf32FastPath:
         assert np.abs(ep - ep2).max() / scale < 1e-6
         assert np.abs(ep).max() > 0.0
 
+    def test_assembled_cg_ell_residual_matches(self, result_p1):
+        # the windowed-ELL df residual format (auto-selected at level>=4
+        # where slot padding inflates to GBs) gives the same trajectory
+        # when forced at the parity size
+        r = solve(
+            TsxTunnelConfig.fast(
+                solver="cg", assembled_cg=True, residual_fmt="ell"
+            )
+        )
+        assert r.n_steps == 17
+        u = np.asarray(r.u)
+        a = np.asarray(result_p1.u)
+        assert np.abs(u - a).max() / np.abs(a).max() < 1e-9
+
     def test_chunked_matches_single_dispatch(self):
         # resume-chunked execution (3 trips/dispatch) is bit-identical to
         # the single-dispatch run — the df32 carry round-trips losslessly
