@@ -1076,3 +1076,152 @@ def solve_sharded(
         n_plastic=int(res.n_plastic),
         mesh=mesh,
     )
+
+
+def solve_sharded_df32(
+    cfg: Optional[TsxTunnelConfig] = None, n_devices: Optional[int] = None
+) -> TsxResult:
+    """Multi-chip df32 tsx solve: the fast path sharded over a device mesh.
+
+    Combines the two production modes: elements sharded over the mesh
+    (like `solve_sharded`) AND the double-float residual/criterion/state
+    (like `build_df32`).  The per-shard internal-force partials are
+    combined with the exact compensated all-reduce
+    (`ops.df32.df_allreduce` — all-gather + df_add fold; a plain psum of
+    hi/lo would break the ~1e-14 floor), so the sharded trajectory
+    matches the single-device df32 cg solve.
+
+    Note: like `solve_sharded`, the geometry arrays enter the jitted
+    program as closure constants — fine on the virtual CPU mesh this is
+    validated on (multi-chip axon TPU is not reachable from this
+    container; on real TPU hardware they must be converted to arguments,
+    CLAUDE.md landmine #1).
+    """
+    import jax
+
+    from ..ops import assembly as asm
+    from ..ops import assembly_df as adf
+    from ..ops.df32 import DF, df_barrier, df_const, df_mul
+    from ..ops.elements import volume_element
+    from ..parallel import sharding as shd
+    from ..solve.cg import block_jacobi_preconditioner, solve_cg
+    from ..solve.newton import NewtonSettings, build_load_stepper
+    from .materials import drucker_prager_fit, elastic_tangent_lanes, lame_moduli
+
+    cfg = cfg if cfg is not None else TsxTunnelConfig.fast(solver="cg")
+    assert cfg.precision == "df32" and cfg.solver == "cg", (
+        cfg.precision, cfg.solver,
+    )
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    s0, e0 = initial_state(cfg)
+    ref = volume_element(cfg.etype)
+    fmap_np, n_free = asm.free_dof_map(mesh.free)
+    free_idx = jnp.asarray(np.nonzero(np.asarray(mesh.free).reshape(-1))[0])
+    fmap = jnp.asarray(fmap_np)
+    n_nodes = mesh.n_nodes
+    f32 = jnp.float32
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else 2e-7
+
+    dev_mesh = shd.make_device_mesh(n_devices)
+    gdf_sh, _ = shd.sharded_geometry_df(
+        np.asarray(mesh.coords), np.asarray(mesh.elems), ref, dev_mesh
+    )
+    # replicated global geometry for the one-time elastic predictor
+    gdf_g = adf.geometry_df(mesh.coords, mesh.elems, ref)
+
+    settings = NewtonSettings(
+        maxit=cfg.newton_maxit,
+        newton_tol=cfg.newton_tol,
+        accept_tol=cfg.accept_tol,
+        d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+        zeta_max=cfg.zeta_max,
+        max_steps=cfg.max_steps,
+        step0=0,
+        max_trips=cfg.max_trips,
+    )
+    monitor_dof = 2 * cfg.monitor_node
+
+    def build_fn(local_gdf, axis, free_idx_a, fmap_a, e0h, e0l, pinz):
+        return build_load_stepper(
+            local_gdf, free_idx_a, fmap_a, n_free, shear, bulk, eta, c,
+            settings,
+            e0_dir=DF(e0h, e0l),
+            monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
+            solver="cg",
+            cg_tol=cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+            cg_structure=cfg.cg_structure,
+            axis_name=axis,
+            precision="df32",
+            pin_zeros=pinz,
+            accumulate_ep=not cfg.bug_compatible_ep_reset,
+        )
+
+    run_sharded = shd.sharded_stepper_df(dev_mesh, gdf_sh, build_fn)
+
+    s0_hi, s0_lo = adf.split_f64_np(s0)
+    e0_hi, e0_lo = adf.split_f64_np(e0)
+    args = dict(
+        B_hi=gdf_g.hi.B, w_hi=gdf_g.hi.weight,
+        edofs=gdf_g.hi.edofs, edofs_t=gdf_g.hi.edofs_t,
+        B_lo=gdf_g.B_lo, w_lo=gdf_g.w_lo, gmap=gdf_g.gmap,
+        fmap=fmap, free_idx=free_idx,
+        s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
+        e0_hi=jnp.asarray(e0_hi), e0_lo=jnp.asarray(e0_lo),
+        free_mask=jnp.asarray(mesh.free),
+        pinz=jnp.zeros(
+            (max(4 * gdf_sh.hi.n_int, 2 * n_nodes),), f32
+        ),
+    )
+
+    @jax.jit
+    def run(a):
+        g = adf.GeometryDF(
+            hi=asm.Geometry(
+                B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
+                edofs_t=a["edofs_t"], n_nodes=n_nodes,
+                n_q=gdf_g.hi.n_q, n_real=gdf_g.hi.n_real,
+            ),
+            B_lo=a["B_lo"], w_lo=a["w_lo"], gmap=a["gmap"],
+        )
+        n_int = g.hi.n_int
+        bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
+        f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+        rhs = DF(-f0.hi, -f0.lo)
+        D = elastic_tangent_lanes(shear, bulk, n_int, f32)
+        blocks = asm.node_block_diagonal(g.hi, D)
+        pre = block_jacobi_preconditioner(blocks, a["free_mask"])
+
+        def solve_fn(r_hi):
+            return solve_cg(
+                lambda v: asm.tangent_matvec(g.hi, D, v),
+                r_hi, a["free_mask"], precond=pre, tol=cg_tol,
+                maxiter=cfg.cg_maxiter, structure=cfg.cg_structure,
+            ).x
+
+        zero_u = DF(
+            jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
+        )
+        u_elast = adf.refine_elastic_solve_with(
+            g, solve_fn, zero_u, rhs, shear, bulk
+        )
+        d_zeta = df_const(cfg.d_zeta)
+        return run_sharded(
+            df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta,
+            a["free_idx"], a["fmap"], a["e0_hi"], a["e0_lo"], a["pinz"],
+        )
+
+    res = run(args)
+    f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    return TsxResult(
+        u=f64(res.u).reshape(-1, 2),
+        ep=f64(res.ep),
+        zeta_hist=np.asarray(res.zeta_hist, np.float64),
+        displ_hist=f64(res.monitor_hist),
+        n_steps=int(res.n_steps),
+        n_newton_total=int(res.n_newton_total),
+        n_plastic=int(res.n_plastic),
+        mesh=mesh,
+    )

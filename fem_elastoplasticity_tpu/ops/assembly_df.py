@@ -24,13 +24,13 @@ f64 and split exactly into hi/lo pairs, so the residual's backward error is
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .assembly import Geometry, compute_geometry
+from .assembly import LANE_PAD, Geometry, compute_geometry
 from .df32 import DF, df_add, df_barrier, df_const, df_mul
 from .elements import ReferenceElement
 
@@ -88,12 +88,17 @@ def dof_gather_map(
 
 
 def geometry_df(
-    coords: np.ndarray, elems: np.ndarray, ref: ReferenceElement
+    coords: np.ndarray,
+    elems: np.ndarray,
+    ref: ReferenceElement,
+    pad_to: Optional[int] = None,
 ) -> GeometryDF:
     """Host-side setup: f64 geometry on CPU, split into df32 pairs.
 
     Runs `compute_geometry` once on the CPU backend in float64 (the mesh is
     static), then splits B and weight exactly: hi = f32(x), lo = f32(x - hi).
+    pad_to: optional integration-point padding target (multi-chip: pad so
+    each shard holds an equal lane-aligned block of whole elements).
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -101,6 +106,7 @@ def geometry_df(
             jnp.asarray(np.asarray(coords, np.float64)),
             jnp.asarray(elems),
             ref,
+            pad_to=pad_to if pad_to is not None else LANE_PAD,
         )
         B64 = np.asarray(g64.B, np.float64)
         w64 = np.asarray(g64.weight, np.float64)
@@ -163,7 +169,7 @@ def strains_df(g: GeometryDF, u: DF) -> DF:
     )
 
 
-def internal_force_df(g: GeometryDF, s3: DF) -> DF:
+def internal_force_df(g: GeometryDF, s3: DF, axis_name=None) -> DF:
     """F = B^T (weight * s) in double-float, gather-accumulated — (2*n_n,).
 
     The per-slot products are exact df32 multiplies; the quadrature and
@@ -171,6 +177,10 @@ def internal_force_df(g: GeometryDF, s3: DF) -> DF:
     gather map), so the ~1e-13-relative cancellation at Newton convergence
     survives.  Parity: `ops.assembly.internal_force`
     (`tsx-tunnel/pythonFEM.py:1778`).
+
+    axis_name: element-shard mesh axis (shard_map) — per-shard partials
+    are combined with the exact compensated all-reduce
+    (`ops.df32.df_allreduce`), never a plain psum of hi/lo.
     """
     hi = g.hi
     w = DF(hi.weight, g.w_lo)
@@ -198,7 +208,12 @@ def internal_force_df(g: GeometryDF, s3: DF) -> DF:
     acc = DF(flat_hi[gm[:, 0]], flat_lo[gm[:, 0]])
     for k in range(1, gm.shape[1]):
         acc = df_add(acc, DF(flat_hi[gm[:, k]], flat_lo[gm[:, k]]))
-    return df_barrier(acc)
+    out = df_barrier(acc)
+    if axis_name is not None:
+        from .df32 import df_allreduce
+
+        out = df_allreduce(out, axis_name)
+    return out
 
 
 def elastic_stress_df(e: DF, shear: float, bulk: float) -> DF:

@@ -230,3 +230,24 @@ def df_sum3(a: DF, b: DF, c: DF) -> DF:
 def df_dot_accumulate(acc: DF, x: DF, y: DF) -> DF:
     """acc + x*y (compensated multiply-accumulate)."""
     return df_add(acc, df_mul(x, y))
+
+
+def df_allreduce(a: DF, axis_name: str) -> DF:
+    """Exact all-reduce of compensated per-shard partials (shard_map).
+
+    A plain `psum` of the hi and lo members separately would drop the
+    carries of the hi additions (~eps32 * |sum| — fatal to the ~1e-14
+    df32 floor).  Instead the (hi, lo) pairs are all-gathered over the
+    mesh axis (one ICI collective each) and folded with the compensated
+    `df_add` over the static shard axis, so the reduction is itself a
+    double-float computation.  Every shard computes the identical fold —
+    the result is replicated, like `psum`.
+    """
+    import jax
+
+    gh = jax.lax.all_gather(a.hi, axis_name)  # (n_shards, ...)
+    gl = jax.lax.all_gather(a.lo, axis_name)
+    acc = DF(gh[0], gl[0])
+    for k in range(1, gh.shape[0]):
+        acc = df_add(acc, DF(gh[k], gl[k]))
+    return df_barrier(acc)

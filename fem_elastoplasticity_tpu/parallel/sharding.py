@@ -118,3 +118,117 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
         )
 
     return run
+
+
+def sharded_geometry_df(coords, elems, ref: ReferenceElement, mesh: Mesh):
+    """Double-float geometry padded/sharded over the device mesh.
+
+    Like `sharded_geometry` but for the df32 fast path: B/weight hi+lo
+    pairs are element-sharded, and the per-DOF force gather map is built
+    PER SHARD (positions index each shard's local force-slot array) and
+    stacked along a sharded leading axis.  Returns (GeometryDF, per_shard
+    element count).
+    """
+    from ..ops import assembly_df as adf
+
+    n_shards = mesh.devices.size
+    n_e = np.asarray(elems).shape[0]
+    n_q = ref.n_q
+    per_shard = -(-n_e // n_shards)
+    while (per_shard * n_q) % asm.LANE_PAD != 0:
+        per_shard += 1
+    pad_to = per_shard * n_shards * n_q
+    gdf = adf.geometry_df(coords, elems, ref, pad_to=pad_to)
+
+    edofs_t = np.asarray(gdf.hi.edofs_t)
+    n_dofs = 2 * gdf.hi.n_nodes
+    np2 = edofs_t.shape[0]
+    locs = []
+    for s in range(n_shards):
+        lo, hi_ = s * per_shard, (s + 1) * per_shard
+        n_real_local = max(0, min(n_e, hi_) - lo)
+        locs.append(
+            adf.dof_gather_map(edofs_t[:, lo:hi_], n_real_local, n_dofs)
+        )
+    k_max = max(g.shape[1] for g in locs)
+    # pad columns with each shard's zero slot (np2 * per_shard)
+    gmap3 = np.full((n_shards, n_dofs, k_max), np2 * per_shard, np.int32)
+    for s, g in enumerate(locs):
+        gmap3[s, :, : g.shape[1]] = g
+
+    spec = lambda *p: NamedSharding(mesh, P(*p))
+    hi = gdf.hi
+    hi_sharded = asm.Geometry(
+        B=jax.device_put(hi.B, spec(None, None, ELEM_AXIS)),
+        weight=jax.device_put(hi.weight, spec(ELEM_AXIS)),
+        edofs=jax.device_put(hi.edofs, spec(ELEM_AXIS, None)),
+        edofs_t=jax.device_put(hi.edofs_t, spec(None, ELEM_AXIS)),
+        n_nodes=hi.n_nodes,
+        n_q=hi.n_q,
+        n_real=hi.n_real,
+    )
+    gdf_sharded = adf.GeometryDF(
+        hi=hi_sharded,
+        B_lo=jax.device_put(gdf.B_lo, spec(None, None, ELEM_AXIS)),
+        w_lo=jax.device_put(gdf.w_lo, spec(ELEM_AXIS)),
+        gmap=jax.device_put(jnp.asarray(gmap3), spec(ELEM_AXIS, None, None)),
+    )
+    return gdf_sharded, per_shard
+
+
+def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
+    """shard_map wrapper for the df32 load stepper.
+
+    build_fn: (local_gdf, axis_name, *extra) -> run(U_it0_df, aux0,
+    d_zeta0_df).  DF state (u, ep, zeta, monitor) is carried as pairs:
+    nodal/scalar pairs replicated, integration-point pairs element-
+    sharded.  Nodal force reductions inside the stepper use the exact
+    compensated all-reduce (`ops.df32.df_allreduce`).
+    """
+    from ..ops import assembly_df as adf
+    from ..ops.df32 import DF
+    from ..solve.newton import LoadSteppingResult
+
+    e3 = P(None, None, ELEM_AXIS)
+    e1 = P(ELEM_AXIS)
+    e_r = P(ELEM_AXIS, None)
+    e_c = P(None, ELEM_AXIS)
+    g3 = P(ELEM_AXIS, None, None)
+    r = P()
+
+    def inner(B, w, edofs, edofs_t, B_lo, w_lo, gmap3, U_it0, aux0,
+              d_zeta0, *extra):
+        local = adf.GeometryDF(
+            hi=asm.Geometry(
+                B=B, weight=w, edofs=edofs, edofs_t=edofs_t,
+                n_nodes=gdf.hi.n_nodes, n_q=gdf.hi.n_q,
+                n_real=gdf.hi.n_real,
+            ),
+            B_lo=B_lo, w_lo=w_lo, gmap=gmap3[0],
+        )
+        run = build_fn(local, ELEM_AXIS, *extra)
+        return run(U_it0, aux0, d_zeta0)
+
+    rdf = DF(r, r)
+    edf = DF(e_c, e_c)
+    out_specs = LoadSteppingResult(
+        u=rdf, ep=edf, zeta_hist=r, monitor_hist=rdf, n_steps=r,
+        n_newton_total=r, zeta=rdf, d_zeta=rdf, n_plastic=r,
+        u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=r,
+    )
+
+    def run(U_it0, aux0, d_zeta0, *extra):
+        mapped = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(e3, e1, e_r, e_c, e3, e1, g3, rdf, r, rdf)
+            + (r,) * len(extra),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return mapped(
+            gdf.hi.B, gdf.hi.weight, gdf.hi.edofs, gdf.hi.edofs_t,
+            gdf.B_lo, gdf.w_lo, gdf.gmap, U_it0, aux0, d_zeta0, *extra,
+        )
+
+    return run

@@ -243,6 +243,10 @@ def build_load_stepper(
         # f32 PCG tangent solves (inexact Newton — the df32 residual and
         # criterion still deliver the f64-grade stopping behavior)
         assert solver in ("dense", "cg", "mg"), solver
+        if axis_name is not None:
+            # multi-chip df32: matrix-free CG only; the assembled G/S
+            # residual operators are global (unsharded) objects
+            assert solver == "cg" and df_residual_op is None
         gdf = geom
         geom = gdf.hi
     dtype = geom.B.dtype
@@ -306,7 +310,9 @@ def build_load_stepper(
                 )
                 f = df_barrier(DF(fh, fl))
             else:
-                f = adf.internal_force_df(gdf, DF(s.hi[:3], s.lo[:3]))
+                f = adf.internal_force_df(
+                    gdf, DF(s.hi[:3], s.lo[:3]), axis_name=axis_name
+                )
             if f_ext_dir is not None:
                 f = df_sub(f, df_mul(f_ext_dir, zeta))
             return f.hi

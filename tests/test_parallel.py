@@ -25,6 +25,26 @@ class TestShardMap:
             np.asarray(r.u), np.asarray(single_cg.u), atol=1e-14
         )
 
+    @pytest.mark.parametrize("n_devices", [2, 8])
+    def test_sharded_df32_matches_single_device(self, n_devices):
+        """Multi-chip df32 (solve_sharded_df32): element-sharded fast path
+        with the exact compensated all-reduce reproduces the single-device
+        df32 cg trajectory to the df32 floor."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            solve_sharded_df32,
+        )
+
+        if len(jax.devices()) < n_devices:
+            pytest.skip("not enough devices")
+        cfg = TsxTunnelConfig.fast(solver="cg")
+        r1 = solve(cfg)
+        r = solve_sharded_df32(cfg, n_devices=n_devices)
+        assert r.n_steps == r1.n_steps == 17
+        np.testing.assert_allclose(
+            np.asarray(r.u), np.asarray(r1.u),
+            atol=1e-12 * float(np.abs(np.asarray(r1.u)).max()),
+        )
+
     def test_padding_inert(self):
         """887 elements over 8 devices needs padding; results identical."""
         if len(jax.devices()) < 3:

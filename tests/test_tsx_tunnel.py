@@ -222,6 +222,16 @@ class TestDf32FastPath:
 
 
 class TestSolverEquivalence:
+    def test_mixed_dense_mode_matches_f64(self):
+        # dense_mode="mixed" (f32 Cholesky + f64 iterative refinement)
+        # preserves the f64 trajectory on a truncated schedule
+        r64 = solve(TsxTunnelConfig(zeta_max=3 / 17))
+        rmx = solve(TsxTunnelConfig(zeta_max=3 / 17, dense_mode="mixed"))
+        assert rmx.n_steps == r64.n_steps
+        np.testing.assert_allclose(
+            np.asarray(rmx.u), np.asarray(r64.u), atol=1e-12
+        )
+
     def test_cg_matches_dense(self):
         r_dense = solve(TsxTunnelConfig())
         r_cg = solve(TsxTunnelConfig(solver="cg"))
