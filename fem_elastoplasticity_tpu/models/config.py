@@ -27,6 +27,12 @@ class ElasticityConfig:
     size_hole: float = 5.0
     dirichlet_scale: float = 0.5  # ud = 0.5 * dirichlet pattern (E:1141)
     dtype: str = "float64"
+    # "dense" (reference-parity direct solve) | "cg" (matrix-free
+    # block-Jacobi PCG — scales past the reference's dense cliff, which
+    # takes >10 min at level 3, E:1151-1159)
+    solver: str = "dense"
+    cg_tol: float = None  # None -> 1e-12 (f64) / 2e-7 (f32)
+    cg_maxiter: int = 5000
 
 
 @dataclass(frozen=True)

@@ -72,6 +72,10 @@ def solve(cfg: ElasticityConfig = ElasticityConfig()) -> ElasticityResult:
     )
     n_nodes = mesh.n_nodes
 
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (
+        2e-7 if dtype == jnp.float32 else 1e-12
+    )
+
     @jax.jit
     def run(a):
         geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
@@ -84,12 +88,29 @@ def solve(cfg: ElasticityConfig = ElasticityConfig()) -> ElasticityResult:
         # Dirichlet lift: f = f_load - K ud   (E:1147), matrix-free
         f = f_load - asm.tangent_matvec(geom, D, a["ud"])
 
-        ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
-        cho = jax.scipy.linalg.cho_factor(K_free)
-        u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
+        if cfg.solver == "dense":
+            ke = asm.element_stiffness(geom, D)
+            K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
+            cho = jax.scipy.linalg.cho_factor(K_free)
+            u_free = jax.scipy.linalg.cho_solve(cho, f[a["free_idx"]])
+            u = a["ud"].at[a["free_idx"]].set(u_free)
+        else:
+            # matrix-free block-Jacobi PCG: the full K never exists —
+            # levels the reference's dense path cannot represent
+            # (E:1151-1159, >10 min at level 3) solve in seconds
+            from ..solve.cg import block_jacobi_preconditioner, solve_cg
 
-        u = a["ud"].at[a["free_idx"]].set(u_free)
+            fmask = (
+                jnp.zeros((2 * n_nodes,), bool).at[a["free_idx"]].set(True)
+            )
+            blocks = asm.node_block_diagonal(geom, D)
+            pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
+            du = solve_cg(
+                lambda v: asm.tangent_matvec(geom, D, v),
+                f, fmask, precond=pre, tol=cg_tol,
+                maxiter=cfg.cg_maxiter, structure="while",
+            ).x
+            u = a["ud"] + du
         # stored energy 0.5 u'Ku - f_load'u  (E:1171)
         energy = 0.5 * u @ asm.tangent_matvec(geom, D, u) - f_load @ u
         return u, energy

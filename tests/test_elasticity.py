@@ -61,3 +61,24 @@ def test_q1_refinement_monotone():
     p1 = float(solve(ElasticityConfig(etype=ElementType.P1, level=1)).energy)
     q2 = float(solve(ElasticityConfig(etype=ElementType.Q2, level=1)).energy)
     assert q2 < e1 < p1
+
+
+def test_cg_solver_matches_dense():
+    """solver="cg" (matrix-free block-Jacobi PCG) reproduces the dense
+    energies to machine precision at parity sizes."""
+    for et in (ElementType.P1, ElementType.Q2):
+        e_d = float(solve(ElasticityConfig(etype=et, level=1)).energy)
+        e_c = float(
+            solve(ElasticityConfig(etype=et, level=1, solver="cg")).energy
+        )
+        assert abs(e_c - e_d) / abs(e_d) < 1e-11
+
+
+def test_cg_solver_scales_past_dense_cliff():
+    """Level 3 (the size where the reference's dense pipeline takes
+    >10 minutes, E:1151-1159) solves in seconds matrix-free, and the
+    energy keeps decreasing under refinement."""
+    e2 = float(solve(ElasticityConfig(level=2)).energy)
+    e3 = float(solve(ElasticityConfig(level=3, solver="cg")).energy)
+    assert np.isfinite(e3)
+    assert e3 < e2

@@ -150,6 +150,26 @@ class TestEllSolverMode:
         assert out["ell"][2] == out["mg"][2]
         np.testing.assert_allclose(out["ell"][3], out["mg"][3], rtol=1e-7)
 
+    def test_ell_chunked_matches_single_dispatch(self):
+        """Resume-chunked execution of the ELL solver (the level>=4
+        large-mesh path, dp_scale_bench) is bit-identical to the
+        single-dispatch run — slot/ELL operator arrays ride the resume
+        carry unchanged."""
+        import numpy as _np
+
+        from fem_elastoplasticity_tpu.models import tsx_tunnel as tsx
+
+        cfg = TsxTunnelConfig.fast_scale(1)
+        run, args, _ = tsx.build_df32(cfg)
+        full = run(args)
+        res, _ = tsx.run_df32_chunked(cfg, trips_per_chunk=2)
+        f64 = lambda p: _np.asarray(p.hi, _np.float64) + _np.asarray(
+            p.lo, _np.float64
+        )
+        assert int(res.n_steps) == int(full.n_steps)
+        assert int(res.n_newton_total) == int(full.n_newton_total)
+        _np.testing.assert_array_equal(f64(res.u), f64(full.u))
+
     def test_ell_permutation_consistency(self):
         """The permuted result mesh's monitor node tracks the same physical
         point: coords at the remapped id equal the raw mesh's node 40."""
