@@ -1,0 +1,65 @@
+"""Strip-footing DP solves at scale: the df32+cg footing path.
+
+The reference's footing benchmark runs only at level 1 (dense masked
+solve, `Plasticity2D_DP/pythonFEM.py:901-1157`); its O(n^2) dense
+pipeline cannot represent refined levels at all.  This runs the COMPLETE
+adaptive pressure-controlled schedule (semi-smooth Newton, dzeta
+doubling rule, near-incompressible nu=0.48) at refined levels with
+matrix-free f32 block-Jacobi PCG tangent solves and the double-float
+residual/criterion (`models/footing.py` solver="cg", precision="df32").
+
+Run on TPU:  python -m fem_elastoplasticity_tpu.benchmarks.footing_scale_bench [levels...]
+
+Level sizes (P1): level 1 = 200 elems / 121 nodes, 2 = 800/441,
+3 = 3.2k/1.7k, 4 = 12.8k/6.6k, 5 = 51.2k/26k.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def run_footing_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
+    import numpy as np
+
+    from ..models.config import FootingConfig
+    from ..models.footing import solve
+
+    results = []
+    for level in levels:
+        cfg = FootingConfig.fast(
+            solver="cg", level=level, cg_maxiter=4000
+        )
+        t0 = time.perf_counter()
+        r = solve(cfg)
+        first = time.perf_counter() - t0
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = solve(cfg)
+            walls.append(time.perf_counter() - t0)
+        # NOTE: solve() rebuilds the jit per call; walls include retrace
+        # but reuse the persistent compile cache — a production server
+        # would hold the built runner (see tsx build_df32 reuse pattern)
+        rec = {
+            "level": level,
+            "n_elems": int(r.mesh.n_elems),
+            "n_dofs": int(2 * r.mesh.n_nodes),
+            "wall_s": float(np.median(walls)),
+            "first_incl_compile_s": first,
+            "n_steps": int(r.n_steps),
+            "n_newton_total": int(r.n_newton_total),
+            "n_plastic": int(r.n_plastic),
+            "limit_pressure": float(r.pressure_hist[r.n_steps]),
+            "zeta_end": float(np.asarray(r.zeta_hist).max()),
+        }
+        results.append(rec)
+        if verbose:
+            print(json.dumps(rec), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    lv = tuple(int(x) for x in sys.argv[1:]) or (1, 2, 3)
+    run_footing_scale(levels=lv)

@@ -279,6 +279,18 @@ class TestHigherOrder:
         assert np.isfinite(np.asarray(r1.u)).all()
         assert abs(float(r1.u[40, 0])) < abs(float(r0.u[40, 0]))
 
+    def test_p2_support_pressure(self):
+        # the quadratic-edge surface rules compose with the P2 volume
+        # discretization too (preset-matrix completeness, ROADMAP r2 #7)
+        cfg0 = TsxTunnelConfig(etype=ElementType.P2, solver="cg", zeta_max=2 / 17)
+        cfg1 = TsxTunnelConfig(
+            etype=ElementType.P2, solver="cg", zeta_max=2 / 17,
+            support_pressure=3.0,
+        )
+        r0, r1 = solve(cfg0), solve(cfg1)
+        assert np.isfinite(np.asarray(r1.u)).all()
+        assert abs(float(r1.u[40, 0])) < abs(float(r0.u[40, 0]))
+
     def test_support_pressure_full_schedule_p1(self):
         # full excavation with 2 MPa support: same 17-step schedule,
         # strictly reduced wall convergence
