@@ -16,20 +16,24 @@ import json
 import time
 
 
-def main(fast: bool = True, assembled: bool = True) -> None:
+def main(fast: bool = True, solver: str = "ell") -> None:
     from ..models.config import TsxTunnelConfig
     from ..models.tsx_tunnel import solve
     from ..ops.elements import ElementType
 
-    kw = dict(etype=ElementType.P4, solver="cg")
     if fast:
-        # measured (2026-08-17, v5e): matrix-free warm wall 16.3 s vs
-        # assembled-slot 34.4 s — at P4's small system (14.5k DOFs) the
-        # matrix-free tangent wins (the slot layout pads to s_pad~344 for
-        # P4's ~120-entry rows); pass --assembled to flip
-        cfg = TsxTunnelConfig.fast(assembled_cg=assembled, **kw)
+        # default solver="ell" = p-multigrid: the P4 node lattice equals
+        # 2 red refinements of the base mesh, so the assembled P1
+        # hierarchy preconditions the high-order tangent CG — measured
+        # 990 -> 20 CG iterations vs block-Jacobi (models/tsx_tunnel.py).
+        # --mf: matrix-free block-Jacobi cg (16.3 s warm, 2026-08-17);
+        # --assembled: compacted-slot assembled tangent (34.4 s warm)
+        kw = dict(etype=ElementType.P4, solver=solver)
+        if solver == "cg-assembled":
+            kw = dict(etype=ElementType.P4, solver="cg", assembled_cg=True)
+        cfg = TsxTunnelConfig.fast(**kw)
     else:
-        cfg = TsxTunnelConfig(**kw)
+        cfg = TsxTunnelConfig(etype=ElementType.P4, solver="cg")
     if fast:
         # reuse the built runner so the warm wall excludes host setup,
         # tracing and compile (the production serving shape)
@@ -69,7 +73,7 @@ def main(fast: bool = True, assembled: bool = True) -> None:
 
     path = "native_cg"
     if fast:
-        path = "df32_cg_assembled" if assembled else "df32_cg"
+        path = f"df32_{solver}"
     print(
         json.dumps(
             {
@@ -87,7 +91,9 @@ def main(fast: bool = True, assembled: bool = True) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(
-        fast="--native" not in sys.argv,
-        assembled="--assembled" in sys.argv,
-    )
+    solver = "ell"
+    if "--mf" in sys.argv:
+        solver = "cg"
+    elif "--assembled" in sys.argv:
+        solver = "cg-assembled"
+    main(fast="--native" not in sys.argv, solver=solver)

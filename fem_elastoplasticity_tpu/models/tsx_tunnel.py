@@ -358,9 +358,22 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         # assembled host-side with locality node ordering, and the WHOLE
         # problem is permuted onto that ordering (coords/elems/free/
         # monitor) so the V-cycle never touches a permutation gather.
-        assert cfg.etype == ElementType.P1 and cfg.refine_levels >= 1, (
-            "ell solver requires P1 with refine_levels >= 1"
+        #
+        # P2/P4 (p-multigrid): the high-order node lattice on straight-
+        # edged triangles coincides with log2(order) uniform red
+        # refinements of the base mesh, so the SAME P1 hierarchy
+        # (spectrally equivalent low-order operator on the identical node
+        # set) preconditions the high-order tangent CG; nodes are matched
+        # by coordinates.  The tangent itself stays the true high-order
+        # matrix-free operator.
+        p_extra = {
+            ElementType.P1: 0, ElementType.P2: 1, ElementType.P4: 2,
+        }.get(cfg.etype)
+        assert p_extra is not None, (
+            "ell solver supports triangle elements (P1/P2/P4)"
         )
+        n_levels = cfg.refine_levels + p_extra
+        assert n_levels >= 1, "ell solver needs >= 1 hierarchy level"
         from ..ops import spmv
         from ..solve import multigrid as mgm
 
@@ -374,10 +387,27 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
 
         mg_arr_ell, mg_metas_ell, perms, coarse_ell = mgm.build_hierarchy_ell(
             raw["coords"].astype(np.float64), raw["elems"],
-            cfg.refine_levels, _free_of, shear, bulk, ref,
+            n_levels, _free_of, shear, bulk, ref
+            if cfg.etype == ElementType.P1
+            else volume_element(ElementType.P1),
             fmt=cfg.spmv_fmt,
         )
-        order = np.argsort(np.asarray(perms[-1]), kind="stable")
+        if cfg.etype == ElementType.P1:
+            order = np.argsort(np.asarray(perms[-1]), kind="stable")
+        else:
+            # match the high-order nodes onto the refined-lattice ordering
+            from scipy.spatial import cKDTree
+
+            fine_c = np.asarray(coarse_ell["fine_coords"], np.float64)
+            assert fine_c.shape[0] == mesh.n_nodes, (
+                fine_c.shape, mesh.n_nodes,
+            )
+            dist, order = cKDTree(
+                np.asarray(mesh.coords, np.float64)
+            ).query(fine_c)
+            scale = np.abs(fine_c).max()
+            assert dist.max() < 1e-9 * scale, float(dist.max())
+            assert np.unique(order).size == mesh.n_nodes  # bijection
         coords2, elems2, new_of_old = spmv.permute_mesh(
             np.asarray(mesh.coords, np.float64), np.asarray(mesh.elems),
             order,
@@ -703,8 +733,11 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             cg_structure=cfg.cg_structure,
             mg_preconditioner=mg_pre,
             elastic_op=(
+                # P2/P4 p-multigrid: the fine hierarchy operator is the
+                # P1-lattice elastic (preconditioner only) — the tangent
+                # stays the true high-order matrix-free operator
                 (a["mg_ell"][-1]["op"], ell["metas"][-1]["op"])
-                if cfg.solver == "ell"
+                if cfg.solver == "ell" and cfg.etype == ElementType.P1
                 else (a["K_slot"], elastic_slot[1])
                 if elastic_slot is not None
                 else None

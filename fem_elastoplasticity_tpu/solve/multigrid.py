@@ -344,6 +344,10 @@ def build_hierarchy_ell(
         metas.append(meta)
         perms.append(new_of_old)
         prev_new_of_old, prev_n = new_of_old, n_n
+    # fine-level coordinates in hierarchy (locality) order — consumers
+    # that permute a problem onto this ordering match nodes against it
+    # (e.g. the p-multigrid P2/P4 lattice match, models/tsx_tunnel.py)
+    coarse["fine_coords"] = c2
     return arrays, metas, perms, coarse
 
 

@@ -279,6 +279,27 @@ class TestHigherOrder:
         assert np.isfinite(np.asarray(r1.u)).all()
         assert abs(float(r1.u[40, 0])) < abs(float(r0.u[40, 0]))
 
+    def test_p4_pmg_matches_cg(self):
+        # p-multigrid (solver="ell" at P4): the P4 node lattice equals 2
+        # red refinements of the base mesh, so the assembled P1 hierarchy
+        # preconditions the high-order tangent CG (990 -> 20 iterations
+        # measured on the elastic system); trajectory and field match the
+        # block-Jacobi cg path
+        kw = dict(etype=ElementType.P4, zeta_max=2 / 17)
+        r0 = solve(TsxTunnelConfig.fast(solver="cg", **kw))
+        r1 = solve(TsxTunnelConfig.fast(solver="ell", **kw))
+        assert r1.n_steps == r0.n_steps
+        u0, u1 = np.asarray(r0.u), np.asarray(r1.u)
+        assert np.abs(u1 - u0).max() / np.abs(u0).max() < 1e-9
+
+    def test_p2_pmg_matches_cg(self):
+        kw = dict(etype=ElementType.P2, zeta_max=2 / 17)
+        r0 = solve(TsxTunnelConfig.fast(solver="cg", **kw))
+        r1 = solve(TsxTunnelConfig.fast(solver="ell", **kw))
+        assert r1.n_steps == r0.n_steps
+        u0, u1 = np.asarray(r0.u), np.asarray(r1.u)
+        assert np.abs(u1 - u0).max() / np.abs(u0).max() < 1e-9
+
     def test_p2_support_pressure(self):
         # the quadratic-edge surface rules compose with the P2 volume
         # discretization too (preset-matrix completeness, ROADMAP r2 #7)
