@@ -53,7 +53,13 @@ class FootingConfig:
     newton_tol: float = 1e-12
     accept_tol: float = 1e-10
     max_steps: int = 1000  # history buffer length (P:1013)
-    solver: str = "dense"  # "dense" | "cg"
+    # "dense" | "cg".  An ELL-multigrid footing mode was measured and
+    # REJECTED: the elastic V-cycle preconditions this problem's tangent
+    # poorly once the plastic zone spans most of the domain (~75% of
+    # points at the nu=0.48 limit load) — level 2 took 501 adaptive
+    # steps vs 22 with plain block-Jacobi cg (same 17.681 limit
+    # pressure).  cg IS the footing scale path (BENCH_NOTES.md).
+    solver: str = "dense"
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # iterative tangent solves (solver="cg"); None resolves dtype-aware:
     # 1e-14 (f64) / 2e-7 (f32 preconditioned-residual floor)

@@ -136,6 +136,9 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         lame_moduli,
     )
 
+    assert cfg.solver in ("dense", "cg", "mg"), (
+        f"{cfg.solver!r}: the ell solver runs under precision='df32'"
+    )
     mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
     dtype = jnp.dtype(cfg.dtype)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
