@@ -23,6 +23,17 @@ def main():
         action="store_true",
         help="reproduce reference defect #2 bit-for-bit (SURVEY.md §2.3)",
     )
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="double-float fast preset (f32 hardware, f64 adaptive "
+        "schedule — FootingConfig.fast)",
+    )
+    p.add_argument(
+        "--solver", default=None, choices=["dense", "cg"],
+        help="tangent solver (cg = matrix-free block-Jacobi PCG, the "
+        "large-mesh path)",
+    )
     args = p.parse_args()
 
     import jax
@@ -36,10 +47,15 @@ def main():
     from fem_elastoplasticity_tpu.models.footing import solve
     from fem_elastoplasticity_tpu.ops.elements import ElementType
 
-    cfg = FootingConfig(
+    kw = dict(
         etype=ElementType[args.etype],
         level=args.level,
         bug_compatible_apex=args.bug_compatible_apex,
+    )
+    if args.solver:
+        kw["solver"] = args.solver
+    cfg = (
+        FootingConfig.fast(**kw) if args.fast else FootingConfig(**kw)
     )
     res = solve(cfg)
     print(f"accepted steps: {res.n_steps}")
