@@ -184,7 +184,23 @@ def build_ell(K_csr, dtype=np.float32, max_overflow_frac=0.005):
     """
     n2, n_in = K_csr.shape
     deg_arr = np.diff(K_csr.indptr)
-    deg = int(max(deg_arr.max(), 1))
+    deg_full = int(max(deg_arr.max(), 1))
+    # row-degree cap: ELL pads EVERY row to the slot count, so a handful
+    # of high-valence rows can inflate the arrays severalfold (measured:
+    # the tsx S operator at level 4 carried deg=142 for a 99.9th-
+    # percentile degree of ~30).  Spill the excess entries of outlier
+    # rows into the overflow side path (exact: slot-df or XLA COO).
+    deg = deg_full
+    cands = sorted(
+        {int(np.quantile(deg_arr, q)) for q in (0.9, 0.99, 0.999)}
+        | {deg_full}
+    )
+    for cand in cands:
+        cand = max(cand, 1)
+        n_spill = int(np.maximum(deg_arr - cand, 0).sum())
+        if n_spill <= 0.5 * max_overflow_frac * max(K_csr.nnz, 1):
+            deg = cand
+            break
     n2r = (n2 + 127) // 128
     n2r = ((n2r + RPG * GPB - 1) // (RPG * GPB)) * (RPG * GPB)
     n2_pad = n2r * 128
@@ -195,8 +211,12 @@ def build_ell(K_csr, dtype=np.float32, max_overflow_frac=0.005):
     idx = np.arange(K_csr.nnz)
     rowid = np.repeat(np.arange(n2), deg_arr)
     slot = idx - K_csr.indptr[rowid]
-    ell_vals[slot, rowid] = K_csr.data.astype(dtype)
-    ell_cols[slot, rowid] = K_csr.indices
+    keep_e = slot < deg
+    sp_rows = rowid[~keep_e]
+    sp_cols = K_csr.indices[~keep_e].astype(np.int64)
+    sp_vals = K_csr.data[~keep_e].astype(dtype)
+    ell_vals[slot[keep_e], rowid[keep_e]] = K_csr.data[keep_e].astype(dtype)
+    ell_cols[slot[keep_e], rowid[keep_e]] = K_csr.indices[keep_e]
 
     n_groups = n2r // RPG
     cols3 = ell_cols.reshape(deg, n_groups, RPG * 128)
@@ -230,7 +250,7 @@ def build_ell(K_csr, dtype=np.float32, max_overflow_frac=0.005):
     li = np.where(keep, li64, 0).astype(np.int32)
     vals3 = np.where(keep, ell_vals.reshape(deg, n_groups, RPG * 128), 0)
 
-    # overflow COO
+    # overflow COO: window outliers + the degree-cap spill
     ov = valid & ~keep
     if n_ov:
         d_ix, g_ix, p_ix = np.nonzero(ov)
@@ -243,6 +263,11 @@ def build_ell(K_csr, dtype=np.float32, max_overflow_frac=0.005):
         ov_rows = np.zeros(0, np.int64)
         ov_cols = np.zeros(0, np.int64)
         ov_vals = np.zeros(0, dtype)
+    if sp_rows.size:
+        ov_rows = np.concatenate([ov_rows, sp_rows.astype(np.int64)])
+        ov_cols = np.concatenate([ov_cols, sp_cols])
+        ov_vals = np.concatenate([ov_vals, sp_vals])
+        n_ov = int(ov_rows.size)
 
     li = np.ascontiguousarray(
         li.reshape(deg, n_groups, RPG, 128).transpose(1, 0, 2, 3)
@@ -443,7 +468,10 @@ def _slot_pack(K_csr):
     lane = rows & 127
     r = cols >> 7
     c = cols & 127
-    n_blocks = int(blk.max()) + 1 if n2 else 1
+    # size from n2, NOT from the last nonzero row: trailing empty rows
+    # (common in overflow side matrices) must still produce output —
+    # empty superblocks cost nothing (nsl = 0 skips the slot loop)
+    n_blocks = max((n2 + 127) // 128, 1)
     n_sb = (n_blocks + 7) // 8
     vrows = max((n_in + 127) // 128, 1)
 
@@ -716,8 +744,43 @@ def ell_matvec_df(arrays: dict, meta: EllDfMeta, v_hi, v_lo):
     return oh, ol
 
 
+class SplitColsDfMeta(NamedTuple):
+    """Column-split double-float operator: A v = sum_k A_k v[k-th slice].
+
+    Used for operators whose columns live in widely separated index
+    regions (the S force operator's columns are component-major
+    integration points at offsets 0 / n_int / 2*n_int): one windowed-ELL
+    layout can never cover all regions (measured 59% overflow at level
+    4), but each per-region part windows tightly.  Partial results are
+    combined with the compensated `df_add`.
+    """
+
+    metas: tuple  # per-part EllDfMeta/SlotMeta (equal column slices)
+    n_in: int
+
+
 def sp_matvec_df(arrays: dict, meta, v_hi, v_lo):
     """Format-generic double-float A v: dispatches on the meta type."""
+    if isinstance(meta, SplitColsDfMeta):
+        from .df32 import DF, df_add, df_barrier
+
+        w = meta.n_in // len(meta.metas)
+        acc = None
+        for k, m in enumerate(meta.metas):
+            pre = f"p{k}_"
+            sub = {
+                kk[len(pre):]: vv
+                for kk, vv in arrays.items()
+                if kk.startswith(pre)
+            }
+            oh, ol = sp_matvec_df(
+                sub, m, v_hi[k * w:(k + 1) * w], v_lo[k * w:(k + 1) * w]
+            )
+            acc = (
+                DF(oh, ol) if acc is None else df_add(acc, DF(oh, ol))
+            )
+        out = df_barrier(acc)
+        return out.hi, out.lo
     if isinstance(meta, EllDfMeta):
         return ell_matvec_df(arrays, meta, v_hi, v_lo)
     assert isinstance(meta, SlotMeta), meta
@@ -772,13 +835,33 @@ def build_residual_slot_df(gdf, fmt: str = "slot"):
         (vals, (rows_e, cols_u)), shape=(3 * n_int, n2)
     ).tocsr()
     G.sum_duplicates()
+    if fmt == "ell":
+        # S's columns are component-major integration points (offsets 0 /
+        # n_int / 2*n_int): split per component so each part's columns
+        # cluster and window tightly (SplitColsDfMeta note)
+        Ga, Gm = build_ell_df(G)
+        Sa: dict = {}
+        parts = []
+        for a3 in range(3):
+            m = a_ix == a3
+            Sc = sp.coo_matrix(
+                (vals[m] * w64[q_ix[m]], (cols_u[m], q_ix[m])),
+                shape=(n2, n_int),
+            ).tocsr()
+            Sc.sum_duplicates()
+            aa, mm = build_ell_df(Sc)
+            for kk, vv in aa.items():
+                Sa[f"p{a3}_{kk}"] = vv
+            parts.append(mm)
+        return Ga, Gm, Sa, SplitColsDfMeta(
+            metas=tuple(parts), n_in=3 * n_int
+        )
     S = sp.coo_matrix(
         (vals * w64[q_ix], (cols_u, rows_e)), shape=(n2, 3 * n_int)
     ).tocsr()
     S.sum_duplicates()
-    build = build_slot_df if fmt == "slot" else build_ell_df
-    Ga, Gm = build(G)
-    Sa, Sm = build(S)
+    Ga, Gm = build_slot_df(G)
+    Sa, Sm = build_slot_df(S)
     return Ga, Gm, Sa, Sm
 
 

@@ -454,3 +454,26 @@ def test_residual_ell_df_matches_slot(tsx_rcm):
     b = np.asarray(b_h, np.float64) + np.asarray(b_l, np.float64)
     scale = max(np.abs(a).max(), 1e-30)
     np.testing.assert_allclose(b, a, atol=1e-12 * scale)
+
+
+def test_slot_matvec_trailing_empty_rows():
+    """Operators whose trailing rows are all-zero (e.g. ELL overflow side
+    matrices) must still return full-length outputs — n_sb is sized from
+    n2, not from the last nonzero row."""
+    import scipy.sparse as sp
+
+    n = 2000  # trailing ~1500 rows empty
+    M = sp.coo_matrix(
+        (np.ones(3), ([0, 5, 400], [1, 2, 3])), shape=(n, n)
+    ).tocsr()
+    arrays, meta = spmv.build_slot(M)
+    v = np.arange(n, dtype=np.float32)
+    got = np.asarray(spmv.slot_matvec(arrays, meta, jnp.asarray(v)))
+    assert got.shape == (n,)
+    np.testing.assert_allclose(got, M @ v.astype(np.float64), atol=1e-6)
+
+    arrays_df, meta_df = spmv.build_slot_df(M)
+    oh, ol = spmv.slot_matvec_df(
+        arrays_df, meta_df, jnp.asarray(v), jnp.zeros_like(jnp.asarray(v))
+    )
+    assert oh.shape == (n,)
