@@ -414,8 +414,12 @@ def build_load_stepper(
                         # per-point corrections are fine).  Plastic
                         # iterations become MXU matmuls + one (3P)^2 f32 LU
                         # instead of a fresh O(n^3) assembly+factor.
-                        # Slot overflow beyond smw_cap degrades the tangent
-                        # only (extra Newton iterations, never accuracy).
+                        # When the plastic set exceeds the cap, fall back
+                        # to the fresh factor: a heavily-truncated tangent
+                        # can stall Newton entirely (measured: cohesion
+                        # 1.0 -> 124 plastic points vs cap 64 collapsed
+                        # d_zeta at zeta=0.2; tests/test_tsx_tunnel.py
+                        # test_smw_cap_overflow_matches_f64).
                         def smw():
                             d_el = elastic_tangent_lanes(
                                 shear, bulk, geom.n_int, dtype
@@ -460,7 +464,11 @@ def build_load_stepper(
                             y = jnp.linalg.solve(A, Ct)
                             return z - KiU @ y
 
-                        fresh = smw
+                        fresh_factor = fresh
+                        n_plastic_now = jnp.sum(ind_p.astype(jnp.int32))
+                        fresh = lambda: jax.lax.cond(
+                            n_plastic_now <= smw_cap, smw, fresh_factor
+                        )
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
                         elastic_factor, rhs

@@ -102,3 +102,23 @@ class TestEnsembleDf32:
         )
         # stiffer member stays elastic
         assert int(ens.n_plastic[1]) == 0
+
+    def test_weak_member_batches_cleanly(self):
+        """A weak-material member (cohesion 4: 77 plastic points vs the
+        reference's 3) batches with the reference member without
+        perturbing it, and completes its own schedule to zeta = 1."""
+        from fem_elastoplasticity_tpu.parallel.ensemble import (
+            solve_tsx_ensemble_df32,
+        )
+
+        eta, c = material_grid(
+            np.array([4.0, 18.7]), np.array([49.0 * np.pi / 180])
+        )
+        ens = solve_tsx_ensemble_df32(eta, c)
+        assert np.isfinite(np.asarray(ens.u)).all()
+        assert int(ens.n_plastic[0]) > 50
+        assert float(np.asarray(ens.zeta_hist)[0].max()) >= 1.0
+        ref = solve(TsxTunnelConfig.fast())
+        np.testing.assert_allclose(
+            np.asarray(ens.u[1]), np.asarray(ref.u), rtol=0, atol=1e-15
+        )

@@ -113,6 +113,21 @@ class TestDf32FastPath:
         assert np.abs(ep - ep2).max() / scale < 1e-6
         assert np.abs(ep).max() > 0.0
 
+    def test_smw_cap_overflow_matches_f64(self):
+        # cohesion 1.0 yields 124 plastic points — past the dense path's
+        # Woodbury cap (smw_cap=64, models/tsx_tunnel.py).  The stepper
+        # falls back to the fresh factor when the plastic count exceeds
+        # the cap (newton.py; a heavily-truncated tangent stalled Newton
+        # at zeta=0.2 before the fallback), so the run completes and
+        # matches the native f64 dense solve.
+        kw = dict(cohesion=1.0)
+        r64 = solve(TsxTunnelConfig(**kw))
+        rf = solve(TsxTunnelConfig.fast(**kw))
+        assert rf.n_plastic > 64
+        assert float(np.asarray(rf.zeta_hist).max()) >= 1.0
+        u64, uf = np.asarray(r64.u), np.asarray(rf.u)
+        assert np.abs(uf - u64).max() / np.abs(u64).max() < 1e-8
+
     def test_assembled_cg_ell_residual_matches(self, result_p1):
         # the windowed-ELL df residual format (auto-selected at level>=4
         # where slot padding inflates to GBs) gives the same trajectory
