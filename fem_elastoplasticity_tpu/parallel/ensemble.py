@@ -254,7 +254,11 @@ def solve_tsx_ensemble_df32(
                     # passes per Newton iteration with batched MXU matmuls
                     # against the SHARED elastic inverse (members differ
                     # only in cohesion/friction, not elastic moduli)
-                    smw_cap=128,  # headroom for weak-material members
+                    # generous cap; fallback disabled: under vmap the
+                    # fallback cond becomes a select that would run the
+                    # batched fresh factor every iteration (newton.py)
+                    smw_cap=128,
+                    smw_fallback=False,
                     precision="df32",
                     pin_zeros=a["pinz"],
                     accumulate_ep=not cfg.bug_compatible_ep_reset,

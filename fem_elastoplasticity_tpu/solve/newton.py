@@ -143,6 +143,7 @@ def build_load_stepper(
     plastic_cap: Optional[int] = None,
     df_residual_op=None,
     smw_cap: Optional[int] = None,
+    smw_fallback: bool = True,
     elastic_factor=None,
     precision: str = "native",
     pin_zeros=None,
@@ -190,7 +191,13 @@ def build_load_stepper(
                   `smw_cap`-sized plastic slot set (MXU matmuls + a tiny
                   capacitance LU) instead of fresh assembly + Cholesky.
                   Appropriate when the plastic fraction is small (tsx);
-                  overflow degrades the tangent only.  None = fresh factor.
+                  None = fresh factor.
+      smw_fallback: when the runtime plastic count exceeds smw_cap, fall
+                  back to the fresh factor via lax.cond (a heavily
+                  truncated tangent can stall Newton — measured).  Set
+                  False under vmap (ensembles): the cond becomes a select
+                  that would execute the batched factor every iteration;
+                  rely on a generous cap instead.
       elastic_factor: prefactored elastic stiffness (cho_factor pair) for
                   the dense solver.  When no integration point is plastic
                   the tangent equals the elastic stiffness bitwise, so the
@@ -464,11 +471,17 @@ def build_load_stepper(
                             y = jnp.linalg.solve(A, Ct)
                             return z - KiU @ y
 
-                        fresh_factor = fresh
-                        n_plastic_now = jnp.sum(ind_p.astype(jnp.int32))
-                        fresh = lambda: jax.lax.cond(
-                            n_plastic_now <= smw_cap, smw, fresh_factor
-                        )
+                        if smw_fallback:
+                            # under vmap this cond becomes a select (both
+                            # branches run) — ensembles disable the
+                            # fallback and rely on a generous cap instead
+                            fresh_factor = fresh
+                            n_plastic_now = jnp.sum(ind_p.astype(jnp.int32))
+                            fresh = lambda: jax.lax.cond(
+                                n_plastic_now <= smw_cap, smw, fresh_factor
+                            )
+                        else:
+                            fresh = smw
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
                         elastic_factor, rhs
