@@ -46,7 +46,7 @@ def run_footing_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
             "level": level,
             "n_elems": int(r.mesh.n_elems),
             "n_dofs": int(2 * r.mesh.n_nodes),
-            "wall_s": float(np.median(walls)),
+            "wall_s": float(np.median(walls)) if walls else first,
             "first_incl_compile_s": first,
             "n_steps": int(r.n_steps),
             "n_newton_total": int(r.n_newton_total),

@@ -68,3 +68,14 @@ def test_elastic_df32_sweep_matches_f64():
     )
     u64_max = float(jnp.abs(res.x).max())
     assert abs(u_max_df32 - u64_max) / u64_max < 1e-11
+
+
+def test_footing_scale_bench_smoke():
+    from fem_elastoplasticity_tpu.benchmarks.footing_scale_bench import (
+        run_footing_scale,
+    )
+
+    recs = run_footing_scale(levels=(1,), reps=0, verbose=False)
+    assert recs[0]["zeta_end"] >= 1.0
+    assert recs[0]["n_steps"] >= 16
+    assert 16.0 < recs[0]["limit_pressure"] < 18.0
