@@ -174,7 +174,46 @@ def _bench_assembled_matvec(jax, np):
     return gdof_s, (traffic / wall) / V5E_HBM_BYTES_S
 
 
+def _preflight_tpu(timeout_s: int = 120) -> bool:
+    """Probe the axon backend in a subprocess with a hard timeout.
+
+    Backend init HANGS (no exception) when the tunnel worker is down
+    (observed 2026-08-17 after a large device_put crashed it), so the
+    probe must be a killable child process.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,))+1)[0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _preflight_tpu():
+        print(
+            json.dumps(
+                {
+                    "metric": "tsx_tunnel_p1_dp_newton_solve_wall",
+                    "value": None,
+                    "unit": "s",
+                    "error": "TPU backend unreachable (axon tunnel worker "
+                    "down; init hangs — see CLAUDE.md landmine 7)",
+                }
+            )
+        )
+        raise SystemExit(1)
+
     import jax
     import numpy as np
 
