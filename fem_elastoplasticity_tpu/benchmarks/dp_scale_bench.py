@@ -36,7 +36,6 @@ import time
 
 
 def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
-    import jax
     import numpy as np
 
     from ..models import tsx_tunnel as tsx

@@ -24,7 +24,6 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
     eta, c = material_grid(cohesions, frictions)
     n_b = len(eta)
 
-    import jax
 
     def sync(res):
         # block_until_ready does not reliably block through the axon

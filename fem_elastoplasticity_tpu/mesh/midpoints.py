@@ -29,7 +29,6 @@ from typing import Tuple
 import numpy as np
 
 from ..ops.elements import ElementType
-from .structured import Mesh
 
 
 def _edge_scan(directed: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -6,7 +6,7 @@ frozen dataclasses whose defaults reproduce each benchmark exactly.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
