@@ -41,7 +41,11 @@ def main():
     import numpy as np
 
     from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
-    from fem_elastoplasticity_tpu.models.tsx_tunnel import solve, solve_sharded
+    from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+        solve,
+        solve_sharded,
+        solve_sharded_df32,
+    )
     from fem_elastoplasticity_tpu.ops.elements import ElementType
 
     kw = dict(
@@ -52,7 +56,14 @@ def main():
     )
     cfg = TsxTunnelConfig.fast(**kw) if args.fast else TsxTunnelConfig(**kw)
 
-    if args.devices:
+    if args.devices and args.fast:
+        # multi-chip df32: element-sharded fast path with the exact
+        # compensated all-reduce (requires solver="cg")
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, solver="cg")
+        res = solve_sharded_df32(cfg, n_devices=args.devices)
+    elif args.devices:
         res = solve_sharded(cfg, n_devices=args.devices)
     else:
         res = solve(cfg)
