@@ -217,10 +217,48 @@ def run_matrix():
         time.sleep(90)  # device-state recovery window
 
 
+def run_transfer_probe():
+    """Escalating host->device transfers in isolated subprocesses.
+
+    Documents the 2026-08-17 incident: a ~0.44 GB device_put (slot-format
+    residual arrays at level 4) failed with "UNAVAILABLE: TPU backend
+    setup/compile error" and left the tunnel worker DOWN for many hours
+    (init hangs in every later process).  Each size runs in its own
+    subprocess with a hard timeout; STOP ESCALATING on the first failure
+    — re-running a failing size can kill the worker again.  Run manually
+    on a healthy tunnel only.
+    """
+    import subprocess
+    import sys as _sys
+
+    for mb in (8, 32, 64, 96, 128, 192, 256, 384):
+        code = (
+            "import numpy as np, jax, jax.numpy as jnp;"
+            f"x = np.ones(({mb} * 1024 * 1024 // 4,), np.float32);"
+            "d = jax.device_put(x);"
+            "print('ok', float(d[0]))"
+        )
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", code],
+                timeout=180, capture_output=True, text=True,
+            )
+            ok = r.returncode == 0 and "ok" in r.stdout
+        except subprocess.TimeoutExpired:
+            ok = False
+        print(f"device_put {mb} MB: {'OK' if ok else 'FAILED'}", flush=True)
+        if not ok:
+            print("stopping escalation (see docstring)")
+            return
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "constant"
     if which == "matrix":
         run_matrix()
+        return
+    if which == "transfer":
+        run_transfer_probe()
         return
     import jax
     import jax.numpy as jnp
