@@ -472,16 +472,35 @@ def build_load_stepper(
                             return z - KiU @ y
 
                         if smw_fallback:
-                            # under vmap this cond becomes a select (both
-                            # branches run) — ensembles disable the
-                            # fallback and rely on a generous cap instead
+                            # Flat 3-way dispatch (reuse/smw/fresh factor).
+                            # This MUST be a single lax.switch, not a cond
+                            # nested inside the any_plastic cond: the
+                            # 2026-01 libtpu compiler SIGABRTs on a
+                            # conditional nested inside a conditional inside
+                            # the while loops (HloReplicationAnalysis check
+                            # failure `Invalid index {1} for shape
+                            # u32[n_int]`; minimal repro + bisect in
+                            # tools/compiler_nested_cond_repro.py).  Under
+                            # vmap a switch runs every branch as a select —
+                            # ensembles disable the fallback and rely on a
+                            # generous cap instead (see smw_fallback doc).
                             fresh_factor = fresh
                             n_plastic_now = jnp.sum(ind_p.astype(jnp.int32))
-                            fresh = lambda: jax.lax.cond(
-                                n_plastic_now <= smw_cap, smw, fresh_factor
+                            branch = jnp.where(
+                                any_plastic,
+                                jnp.where(n_plastic_now <= smw_cap, 1, 2),
+                                0,
                             )
-                        else:
-                            fresh = smw
+                            dU_free = jax.lax.switch(
+                                branch, [reuse, smw, fresh_factor]
+                            )
+                            dU = (
+                                jnp.zeros((n_dofs,), dtype)
+                                .at[free_idx]
+                                .set(dU_free)
+                            )
+                            return dU, jnp.asarray(True)
+                        fresh = smw
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
                         elastic_factor, rhs
