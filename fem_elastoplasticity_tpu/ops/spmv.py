@@ -618,19 +618,30 @@ def build_ell_df(K_csr, max_overflow_frac=0.005):
     )
     ov = None
     if meta.n_overflow:
-        # exact df32 side path: slot-df operator over the overflow COO
+        # exact df32 side path: slot-df operator over the overflow COO.
+        # Rows are COMPACTED to the occupied set first: the slot layout
+        # pads n_sb * s_pad slots across ALL output blocks, so building
+        # it over the full row space pays ~100x memory for the ~1% of
+        # rows that actually hold overflow entries (~100 MB for the G
+        # operator at refinement level 4 — ROADMAP r2 #1).  The compact
+        # result is df-added back into the kernel output by row index;
+        # two_sum with an exact zero is the identity, so untouched rows
+        # are bit-identical to the uncompacted operator.
         ov_r = np.asarray(ah["ov_r"], np.int64)
         ov_c = np.asarray(ah["ov_c"], np.int64)
         ov_v = np.asarray(ah["ov_v"], np.float64) + np.asarray(
             al["ov_v"], np.float64
         )
+        rows_nz = np.unique(ov_r)
         Kov = sp.coo_matrix(
-            (ov_v, (ov_r, ov_c)), shape=K_csr.shape
+            (ov_v, (np.searchsorted(rows_nz, ov_r), ov_c)),
+            shape=(rows_nz.size, K_csr.shape[1]),
         ).tocsr()
         Kov.sum_duplicates()
         ov_arrays, ov_meta = build_slot_df(Kov)
         for k, v in ov_arrays.items():
             arrays["ovdf_" + k] = v
+        arrays["ovdf_rows"] = jnp.asarray(rows_nz.astype(np.int32))
         ov = ov_meta
     return arrays, EllDfMeta(ell=meta, ov=ov)
 
@@ -738,9 +749,12 @@ def ell_matvec_df(arrays: dict, meta: EllDfMeta, v_hi, v_lo):
             for k, v in arrays.items()
             if k.startswith("ovdf_")
         }
+        rows = ov_arrays.pop("rows")  # compacted row index (build_ell_df)
         ovh, ovl = slot_matvec_df(ov_arrays, meta.ov, v_hi, v_lo)
-        out = df_barrier(df_add(DF(oh, ol), DF(ovh, ovl)))
-        return out.hi, out.lo
+        sub = df_barrier(
+            df_add(DF(oh[rows], ol[rows]), DF(ovh, ovl))
+        )
+        return oh.at[rows].set(sub.hi), ol.at[rows].set(sub.lo)
     return oh, ol
 
 

@@ -406,15 +406,28 @@ def test_slot_matvec_high_dup_rows():
 
 def test_ell_matvec_df_f64_grade(tsx_rcm):
     """Windowed-ELL double-float kernel reaches ~1e-14 vs host f64,
-    including the exact slot-df overflow side path."""
+    including the exact (row-compacted) slot-df overflow side path."""
     coords2, elems2, free2, _ = tsx_rcm
     ref = volume_element(ElementType.P1)
     shear, bulk = lame_moduli(60000.0, 0.2)
     _, _, K = spmv.build_ell_elastic(
         coords2, elems2, ref, shear, bulk, free=free2
     )
-    # tight overflow budget forces a nonempty overflow side operator
+    # inject long-range entries far outside any window: on the RCM-ordered
+    # level-1 mesh the windows otherwise absorb everything (a tight
+    # max_overflow_frac alone does NOT produce overflow here — verified)
+    import scipy.sparse as sp
+
+    rng0 = np.random.default_rng(3)
+    n = K.shape[0]
+    r = rng0.integers(0, n, 40)
+    c = (r + n // 2) % n
+    K = (
+        K + sp.coo_matrix((rng0.standard_normal(40), (r, c)), shape=K.shape)
+    ).tocsr()
     arrays, meta = spmv.build_ell_df(K, max_overflow_frac=0.0001)
+    assert meta.ov is not None  # the overflow side path must be exercised
+    assert meta.ov.n2 < meta.ell.n2  # and row-compacted
     rng = np.random.default_rng(17)
     v64 = rng.standard_normal(meta.ell.n_in)
     vh, vl = _df_split(v64)
