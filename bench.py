@@ -72,7 +72,6 @@ def _bench_matvec_utilization(jax, np):
     """Matrix-free elastic K*u on the level-4 mesh: GDOF/s + HBM fraction."""
     import jax.numpy as jnp
 
-    from fem_elastoplasticity_tpu.mesh.refine import refine_uniform
     from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
     from fem_elastoplasticity_tpu.models.materials import (
         elastic_tangent_lanes,

@@ -223,15 +223,6 @@ def df_sqrt(a: DF) -> DF:
     return DF(hi, lo)
 
 
-def df_sum3(a: DF, b: DF, c: DF) -> DF:
-    return df_add(df_add(a, b), c)
-
-
-def df_dot_accumulate(acc: DF, x: DF, y: DF) -> DF:
-    """acc + x*y (compensated multiply-accumulate)."""
-    return df_add(acc, df_mul(x, y))
-
-
 def df_allreduce(a: DF, axis_name: str) -> DF:
     """Exact all-reduce of compensated per-shard partials (shard_map).
 

@@ -1,6 +1,6 @@
 """Projected preconditioned CG unit tests."""
 import numpy as np
-import pytest
+
 
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ Provenance (SURVEY.md §8.2, empirically established):
     "our converged residual is also numerically zero".
 """
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -1,6 +1,6 @@
 """Fused Pallas return-map kernel tests (interpreter mode on CPU)."""
 import numpy as np
-import pytest
+
 
 import jax.numpy as jnp
 

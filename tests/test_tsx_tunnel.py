@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
-from fem_elastoplasticity_tpu.models.tsx_tunnel import solve, tsx_mesh
+from fem_elastoplasticity_tpu.models.tsx_tunnel import solve
 from fem_elastoplasticity_tpu.ops.elements import ElementType
 
 

@@ -1,6 +1,6 @@
 """Utility subsystem tests: checkpoint/resume, metrics, timing."""
 import numpy as np
-import pytest
+
 
 from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
 from fem_elastoplasticity_tpu.models.tsx_tunnel import solve
@@ -120,6 +120,23 @@ class TestMetrics:
         assert len(recs) == 3
         s = metrics.summarize(view)
         assert s["n_steps"] == 3
+
+    def test_log_run(self, caplog):
+        from types import SimpleNamespace
+
+        r = solve(TsxTunnelConfig(zeta_max=2 / 17))
+        view = SimpleNamespace(
+            zeta_hist=r.zeta_hist,
+            monitor_hist=r.displ_hist,
+            n_steps=r.n_steps,
+            n_newton_total=r.n_newton_total,
+            n_plastic=r.n_plastic,
+        )
+        with caplog.at_level("INFO", logger="fem_elastoplasticity_tpu"):
+            metrics.log_run(view, monitor_name="u40")
+        msgs = [rec.getMessage() for rec in caplog.records]
+        assert any("run summary" in m and '"n_steps": 2' in m for m in msgs)
+        assert sum("step:" in m for m in msgs) == 2
 
     def test_jsonl(self, tmp_path):
         p = tmp_path / "m.jsonl"
