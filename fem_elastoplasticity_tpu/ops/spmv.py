@@ -348,7 +348,7 @@ def diag_blocks_csr(K_csr, n_n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
-def _ell_kernel(meta: EllMeta):
+def _ell_kernel(meta: EllMeta, unroll: bool = True):
     J = meta.J
 
     def kern(w0_ref, li_ref, vals_ref, v_ref, o_ref):
@@ -363,6 +363,9 @@ def _ell_kernel(meta: EllMeta):
             r = lid >> 7
             c = lid & 127
 
+            # static unroll over the window (J is meta-static): Mosaic
+            # pipelines the row loads across iterations — same cure as
+            # the slot kernel's _slot_iter (6.3x measured there)
             def j_body(jj, got):
                 row = v_ref[pl.ds(w + jj, 1), :]
                 gat = jnp.take_along_axis(
@@ -370,8 +373,8 @@ def _ell_kernel(meta: EllMeta):
                 )
                 return jnp.where(r == jj, gat, got)
 
-            got = jax.lax.fori_loop(
-                0, J, j_body, jnp.zeros((DR, 128), jnp.float32)
+            got = _slot_iter(
+                J, j_body, jnp.zeros((DR, 128), jnp.float32), unroll
             )
             prod = vals_ref[g] * got
             acc = prod.reshape(meta.deg, RPG, 128).sum(axis=0)
@@ -402,7 +405,7 @@ def ell_matvec(arrays: dict, meta: EllMeta, v: jnp.ndarray) -> jnp.ndarray:
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _ell_kernel(meta),
+            _ell_kernel(meta, unroll=not interpret),
             grid=(meta.n_groups // GPB,),
             in_specs=[
                 pl.BlockSpec(memory_space=_smem()),
@@ -646,7 +649,7 @@ def build_ell_df(K_csr, max_overflow_frac=0.005):
     return arrays, EllDfMeta(ell=meta, ov=ov)
 
 
-def _ell_kernel_df(meta: EllMeta, deg: int):
+def _ell_kernel_df(meta: EllMeta, deg: int, unroll: bool = True):
     """Double-float windowed-ELL matvec (see `_slot_kernel_df` for the
     error-free-transform details; same math, ELL traversal)."""
     J = meta.J
@@ -663,6 +666,7 @@ def _ell_kernel_df(meta: EllMeta, deg: int):
             r = lid >> 7
             c = lid & 127
 
+            # static unroll over the window (see _slot_iter / _ell_kernel)
             def j_body(jj, carry):
                 gh, gl = carry
                 rowh = xh_ref[pl.ds(w + jj, 1), :]
@@ -677,7 +681,7 @@ def _ell_kernel_df(meta: EllMeta, deg: int):
                 return jnp.where(m, gath, gh), jnp.where(m, gatl, gl)
 
             zero = jnp.zeros((DR, 128), jnp.float32)
-            gh, gl = jax.lax.fori_loop(0, J, j_body, (zero, zero))
+            gh, gl = _slot_iter(J, j_body, (zero, zero), unroll)
             ah = vh_ref[g]
             al = vl_ref[g]
             p, e = _two_prod(ah, gh)
@@ -716,7 +720,7 @@ def ell_matvec_df(arrays: dict, meta: EllDfMeta, v_hi, v_lo):
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
-            _ell_kernel_df(em, em.deg),
+            _ell_kernel_df(em, em.deg, unroll=not interpret),
             grid=(em.n_groups // GPB,),
             in_specs=[
                 pl.BlockSpec(memory_space=_smem()),
@@ -879,11 +883,51 @@ def build_residual_slot_df(gdf, fmt: str = "slot"):
     return Ga, Gm, Sa, Sm
 
 
-def _slot_kernel(meta: SlotMeta):
-    def kern(nsl_ref, srow_ref, cidx_ref, vals_ref, v_ref, o_ref):
-        import jax.experimental.pallas as pl
+_UNROLL_FULL = 128  # fully unroll the slot loop up to this s_pad
 
-        blk = pl.program_id(0)
+
+def _slot_iter(s_pad: int, body, init, unroll: bool = True):
+    """Iterate body(s, carry) over all s_pad slots with static unrolling.
+
+    A dynamic `fori_loop` bounded by the runtime slot count serializes
+    the per-slot dynamic row loads behind the loop carry — measured
+    0.80 ms for the level-4 elastic matvec.  Fully unrolling the
+    (static) slot loop lets Mosaic software-pipeline the VMEM loads
+    across slots: 0.127 ms on the same operator (6.3x, ~690 GB/s —
+    bandwidth-bound).  Padding slots carry zero values, so running them
+    is exact; the DMA already streamed them regardless of the old
+    runtime bound.  Above _UNROLL_FULL slots (high-order residual
+    operators reach s_pad ~344) the loop runs in unrolled-by-8 chunks
+    to bound Mosaic code size.
+
+    unroll=False (interpret mode / CPU tests) keeps a single fori_loop:
+    eager interpret execution of an unrolled body is ~10x slower there,
+    and the pipelining argument only applies to Mosaic.
+    """
+    if not unroll:
+        return jax.lax.fori_loop(0, s_pad, body, init)
+    if s_pad <= _UNROLL_FULL:
+        acc = init
+        for s in range(s_pad):
+            acc = body(s, acc)
+        return acc
+    U = 8
+    n_chunks = s_pad // U
+
+    def chunk(t, acc):
+        for u in range(U):
+            acc = body(t * U + u, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk, init)
+    for s in range(n_chunks * U, s_pad):
+        acc = body(s, acc)
+    return acc
+
+
+def _slot_kernel(meta: SlotMeta, unroll: bool = True):
+    def kern(srow_ref, cidx_ref, vals_ref, v_ref, o_ref):
+        import jax.experimental.pallas as pl
 
         def body(s, acc):
             tile = jnp.concatenate(
@@ -896,10 +940,9 @@ def _slot_kernel(meta: SlotMeta):
             gat = jnp.take_along_axis(tile, cidx_ref[0, s], axis=1)
             return acc + vals_ref[0, s] * gat
 
-        acc = jax.lax.fori_loop(
-            0, nsl_ref[blk], body, jnp.zeros((8, 128), jnp.float32)
+        o_ref[...] = _slot_iter(
+            meta.s_pad, body, jnp.zeros((8, 128), jnp.float32), unroll
         )
-        o_ref[...] = acc
 
     return kern
 
@@ -931,7 +974,7 @@ def _two_prod(a, b):
     return p, err
 
 
-def _slot_kernel_df(meta: SlotMeta):
+def _slot_kernel_df(meta: SlotMeta, unroll: bool = True):
     """Double-float slot matvec: (A_hi+A_lo)(v_hi+v_lo) compensated.
 
     Per slot: Dekker two-product of the heads, cross terms folded into
@@ -941,12 +984,10 @@ def _slot_kernel_df(meta: SlotMeta):
     """
 
     def kern(
-        nsl_ref, srow_ref, cidx_ref, vh_ref, vl_ref, xh_ref, xl_ref,
+        srow_ref, cidx_ref, vh_ref, vl_ref, xh_ref, xl_ref,
         oh_ref, ol_ref,
     ):
         import jax.experimental.pallas as pl
-
-        blk = pl.program_id(0)
 
         def body(s, carry):
             acc_hi, acc_lo = carry
@@ -974,9 +1015,7 @@ def _slot_kernel_df(meta: SlotMeta):
             return hi, lo
 
         zero = jnp.zeros((8, 128), jnp.float32)
-        acc_hi, acc_lo = jax.lax.fori_loop(
-            0, nsl_ref[blk], body, (zero, zero)
-        )
+        acc_hi, acc_lo = _slot_iter(meta.s_pad, body, (zero, zero), unroll)
         oh_ref[...] = acc_hi
         ol_ref[...] = acc_lo
 
@@ -1005,10 +1044,9 @@ def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
     vec = pl.BlockSpec((meta.vrows, 128), lambda b: (0, 0))
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
-            _slot_kernel_df(meta),
+            _slot_kernel_df(meta, unroll=not interpret),
             grid=(meta.n_sb,),
             in_specs=[
-                pl.BlockSpec(memory_space=_smem()),
                 pl.BlockSpec(
                     (1, 8, meta.s_pad), lambda b: (b, 0, 0),
                     memory_space=_smem(),
@@ -1025,7 +1063,7 @@ def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
             ],
             interpret=interpret,
         )(
-            arrays["nsl"], arrays["srow"], arrays["cidx"],
+            arrays["srow"], arrays["cidx"],
             arrays["vals_hi"], arrays["vals_lo"], pad(v_hi), pad(v_lo),
         )
     return oh.reshape(-1)[: meta.n2], ol.reshape(-1)[: meta.n2]
@@ -1044,10 +1082,9 @@ def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _slot_kernel(meta),
+            _slot_kernel(meta, unroll=not interpret),
             grid=(meta.n_sb,),
             in_specs=[
-                pl.BlockSpec(memory_space=_smem()),
                 pl.BlockSpec(
                     (1, 8, meta.s_pad), lambda b: (b, 0, 0),
                     memory_space=_smem(),
@@ -1059,5 +1096,5 @@ def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
             out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
             out_shape=jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
             interpret=interpret,
-        )(arrays["nsl"], arrays["srow"], arrays["cidx"], arrays["vals"], v2)
+        )(arrays["srow"], arrays["cidx"], arrays["vals"], v2)
     return out.reshape(-1)[: meta.n2]
