@@ -68,6 +68,35 @@ def _bench_solve(jax, np):
     return float(np.median(times)), rel_err
 
 
+def _floor_cancelled_wall(make_fn, args, np, reps=(100, 300), tries=3):
+    """Per-iteration wall of an on-device fori_loop, with the constant
+    dispatch + host-fetch cost cancelled by differencing two rep counts:
+    wall = (t[n_hi] - t[n_lo]) / (n_hi - n_lo).  Each program is timed
+    `tries` times and the minimum taken (tunnel jitter is one-sided)."""
+    n_lo, n_hi = reps
+    walls = {}
+    for n in (n_lo, n_hi):
+        fn = make_fn(n)
+        out = fn(args)
+        float(np.asarray(jax_tree_first(out)))  # compile + sync
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            out = fn(args)
+            float(np.asarray(jax_tree_first(out)))
+            best = min(best, time.perf_counter() - t0)
+        walls[n] = best
+    return max((walls[n_hi] - walls[n_lo]) / (n_hi - n_lo), 1e-9)
+
+
+def jax_tree_first(out):
+    """First scalar of the first leaf — a minimal honest device fetch."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return leaf.reshape(-1)[0]
+
+
 def _bench_matvec_utilization(jax, np):
     """Matrix-free elastic K*u on the level-4 mesh: GDOF/s + HBM fraction."""
     import jax.numpy as jnp
@@ -94,23 +123,24 @@ def _bench_matvec_utilization(jax, np):
         tab=tab,
         u=jnp.ones((2 * mesh.n_nodes,), f32),
     )
-    n_iters = 50
+    def apply_n(n_iters):
+        @jax.jit
+        def fn(a):
+            geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+            D = elastic_tangent_lanes(shear, bulk, geom.n_int, f32)
 
-    @jax.jit
-    def apply_n(a):
-        geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
-        D = elastic_tangent_lanes(shear, bulk, geom.n_int, f32)
+            def body(_, v):
+                w = asm.tangent_matvec(geom, D, v)
+                return w / (1.0 + jnp.abs(w).max())  # keep values bounded
 
-        def body(_, v):
-            w = asm.tangent_matvec(geom, D, v)
-            return w / (1.0 + jnp.abs(w).max())  # keep values bounded
+            return jax.lax.fori_loop(0, n_iters, body, a["u"])
 
-        return jax.lax.fori_loop(0, n_iters, body, a["u"])
+        return fn
 
-    float(np.asarray(apply_n(args)[0]))  # compile + honest host-fetch sync
-    t0 = time.perf_counter()
-    float(np.asarray(apply_n(args)[0]))
-    wall = (time.perf_counter() - t0) / n_iters
+    # time at two rep counts and difference: cancels the constant
+    # dispatch+fetch cost (~33 ms through the axon tunnel), which at
+    # single-digit-ms kernel walls would otherwise dominate the estimate
+    wall = _floor_cancelled_wall(apply_n, args, np, reps=(10, 30))
 
     n_dofs = 2 * mesh.n_nodes
     n_e = mesh.n_elems
@@ -148,20 +178,21 @@ def _bench_assembled_matvec(jax, np):
         c2, e2, ref, shear, bulk, fmt="slot"
     )
     v = jnp.ones((meta.n2,), jnp.float32)
-    n_iters = 50
 
-    @jax.jit
-    def apply_n(arrays, v):
-        def body(_, x):
-            w = spmv.sp_matvec(arrays, meta, x)
-            return w / (1.0 + jnp.abs(w).max())
+    def apply_n(n_iters):
+        @jax.jit
+        def fn(a):
+            def body(_, x):
+                w = spmv.sp_matvec(a["arrays"], meta, x)
+                return w / (1.0 + jnp.abs(w).max())
 
-        return jax.lax.fori_loop(0, n_iters, body, v)
+            return jax.lax.fori_loop(0, n_iters, body, a["v"])
 
-    float(np.asarray(apply_n(arrays, v))[0])  # compile + sync
-    t0 = time.perf_counter()
-    float(np.asarray(apply_n(arrays, v))[0])
-    wall = (time.perf_counter() - t0) / n_iters
+        return fn
+
+    wall = _floor_cancelled_wall(
+        apply_n, dict(arrays=arrays, v=v), np, reps=(100, 300)
+    )
 
     gdof_s = meta.n2 / wall / 1e9
     traffic = (
