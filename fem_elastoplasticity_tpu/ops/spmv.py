@@ -884,6 +884,12 @@ def build_residual_slot_df(gdf, fmt: str = "slot"):
 
 
 _UNROLL_FULL = 128  # fully unroll the slot loop up to this s_pad
+_UNROLL_CHUNK = 32  # above that, unroll in chunks of this many slots
+# (chunk granularity measured on the L4 elastic slot operator: 32 ->
+# 0.158 ms, 16 -> 0.197, 8 -> 0.211, 4 -> 0.357; full unroll 0.13-0.17
+# with no reliable edge over chunk32.  Kernel compile cost is ~1 s for
+# either at s_pad 48 — the pathological first-compile walls are tunnel
+# warmup, not unroll-generated code size.)
 
 
 def _slot_iter(s_pad: int, body, init, unroll: bool = True):
@@ -897,8 +903,8 @@ def _slot_iter(s_pad: int, body, init, unroll: bool = True):
     bandwidth-bound).  Padding slots carry zero values, so running them
     is exact; the DMA already streamed them regardless of the old
     runtime bound.  Above _UNROLL_FULL slots (high-order residual
-    operators reach s_pad ~344) the loop runs in unrolled-by-8 chunks
-    to bound Mosaic code size.
+    operators reach s_pad ~344) the loop runs in unrolled _UNROLL_CHUNK
+    chunks to bound Mosaic code size.
 
     unroll=False (interpret mode / CPU tests) keeps a single fori_loop:
     eager interpret execution of an unrolled body is ~10x slower there,
@@ -911,7 +917,7 @@ def _slot_iter(s_pad: int, body, init, unroll: bool = True):
         for s in range(s_pad):
             acc = body(s, acc)
         return acc
-    U = 8
+    U = _UNROLL_CHUNK
     n_chunks = s_pad // U
 
     def chunk(t, acc):
