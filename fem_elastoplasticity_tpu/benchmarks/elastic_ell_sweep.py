@@ -71,7 +71,7 @@ def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
             B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap,
             free_mask=jnp.asarray(free2),
             s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
-            mg=mg_arrays, cho0=coarse["cho0"],
+            mg=mg_arrays, inv0=coarse["inv0"],
             free_idx0=coarse["free_idx0"],
         )
         t_setup = time.perf_counter() - t0
@@ -98,9 +98,7 @@ def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
             idx0 = a["free_idx0"]
 
             def coarse_solve(r):
-                return jnp.zeros_like(r).at[idx0].set(
-                    jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
-                )
+                return jnp.zeros_like(r).at[idx0].set(a["inv0"] @ r[idx0])
 
             pre = mgm.make_vcycle_ell(mg_metas, coarse_solve, nu=2)
             u = DF(u_hi, u_lo)
@@ -145,7 +143,9 @@ def run_elastic_ell_sweep(levels=(0, 1, 2, 3, 4, 5), reps: int = 3,
             "wall_s": wall,
             "setup_s": t_setup,
             "compile_plus_first_s": t_first,
-            "J_op": meta_top.J,
+            "J_op": getattr(meta_top, "J", None) or getattr(
+                meta_top, "s_pad", None
+            ),
             "cg_iters_per_ir_pass": [int(x) for x in np.asarray(cg_iters)],
             "u_max": float(
                 np.abs(

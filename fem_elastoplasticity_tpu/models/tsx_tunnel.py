@@ -528,7 +528,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         args["free_mask"] = jnp.asarray(mesh.free)
     if cfg.solver == "ell":
         args["mg_ell"] = mg_arr_ell
-        args["cho0"] = coarse_ell["cho0"]
+        args["inv0"] = coarse_ell["inv0"]
         args["free_idx0"] = coarse_ell["free_idx0"]
         args["G_slot"], args["S_slot"] = _Ga, _Sa
     if elastic_slot is not None:
@@ -684,8 +684,10 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 idx0 = a["free_idx0"]
 
                 def coarse_solve(r):
+                    # explicit-inverse matmul: triangular solves are
+                    # row-serial on TPU (~1.5 ms/V-cycle at n0~900)
                     return jnp.zeros_like(r).at[idx0].set(
-                        jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
+                        a["inv0"] @ r[idx0]
                     )
 
                 vc = mgm.make_vcycle_ell(ell["metas"], coarse_solve, nu=2)
@@ -785,12 +787,15 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 from ..solve import multigrid as mgm
 
                 idx0 = a["free_idx0"]
+                if cfg.solver == "ell":
+                    coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
+                        a["inv0"] @ r[idx0]
+                    )
+                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=2)
+                    return lambda r: vc(a["mg_ell"], r)
                 coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                     jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                 )
-                if cfg.solver == "ell":
-                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=2)
-                    return lambda r: vc(a["mg_ell"], r)
                 mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
                 return mgm.make_vcycle(mg_levels, coarse, nu=2)
             blocks = asm.node_block_diagonal(g.hi, D)

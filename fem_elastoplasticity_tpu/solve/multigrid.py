@@ -233,7 +233,10 @@ def build_hierarchy_ell(
       metas[l]:  dict(op=EllMeta, P=EllMeta, R=EllMeta) — static
       perms[l]:  new_of_old node map of level l
       coarse:    dict(cho0=(n_free0, n_free0) host Cholesky factor,
+                      inv0=(n_free0, n_free0) explicit f32 inverse,
                       free_idx0=(n_free0,) indices) for the direct solve
+                      (prefer inv0 @ r on TPU: triangular solves are
+                      row-serial there)
     """
     import scipy.linalg as sla
     import scipy.sparse as sp
@@ -311,8 +314,14 @@ def build_hierarchy_ell(
             idx0 = np.nonzero(flat0)[0]
             K0 = K[idx0][:, idx0].toarray()
             c0, _ = sla.cho_factor(K0, lower=False)
+            # explicit inverse for the coarse solve: triangular solves are
+            # row-serial on TPU (~1.3-2 ms at n~900 f32) while an (n0,n0)
+            # MXU matmul is ~free; the V-cycle is a preconditioner, so f32
+            # inverse accuracy is irrelevant to the CG trajectory
+            inv0 = sla.cho_solve((c0, False), np.eye(K0.shape[0]))
             coarse = dict(
                 cho0=jnp.asarray(c0, jnp.float32),
+                inv0=jnp.asarray(inv0, jnp.float32),
                 free_idx0=jnp.asarray(idx0.astype(np.int32)),
             )
         else:
