@@ -4,6 +4,7 @@ import pytest
 
 from fem_elastoplasticity_tpu.models.config import FootingConfig
 from fem_elastoplasticity_tpu.models.footing import solve
+from fem_elastoplasticity_tpu.ops.elements import ElementType
 
 # pressure history of the unmodified reference run (P1, level 1), captured
 # via the in-repo instrumentation described in SURVEY.md §8.4
@@ -85,6 +86,75 @@ class TestAnchors:
     def test_plasticity_develops(self, result):
         # ~770 integration points yield by zeta=1 in the reference run
         assert result.n_plastic > 500
+
+
+# Differential anchors for the non-P1 element types the reference driver
+# accepts (`Plasticity2D_DP/pythonFEM.py:901` takes any LagrangeElementType;
+# its structured generators cover Q1/P2/Q2 via get_nodes_1/2).  Captured from
+# the unmodified reference at level 0 (instrumented /tmp copy, 2026-08-19):
+# accepted zeta schedule and the per-step footing pressures (pressure_hist
+# re-aligned to the zeta index — the reference writes it one slot ahead,
+# PARITY.md).  Bit-level comparison requires bug_compatible_apex=True
+# (reference defect #2); fixed-semantics pressures differ by 1e-5..3e-4.
+REFERENCE_BY_ETYPE = {
+    "Q1": (
+        [0.001, 0.002, 0.003, 0.004, 0.005, 0.006, 0.007, 0.008,
+         0.009000000000000001, 0.010000000000000002, 0.011000000000000003,
+         0.012000000000000004, 0.013000000000000005, 0.014000000000000005,
+         0.016000000000000007, 0.01800000000000001, 0.02000000000000001,
+         0.022000000000000013, 0.026000000000000013, 0.030000000000000013,
+         0.034000000000000016, 0.042000000000000016, 0.05800000000000002,
+         0.09000000000000002, 0.15400000000000003, 0.28200000000000003,
+         0.538, 1.05],
+        [7.066584624066, 11.872691814169, 14.754590995634, 15.864201634820,
+         16.380979387862, 16.763258898143, 17.077673840919, 17.353698939237,
+         17.602557267730, 17.816820327038, 17.998526575463, 18.135559673360,
+         18.246825500316, 18.345782837094, 18.487399304369, 18.621132470342,
+         18.731168466610, 18.825099842911, 18.989545158304, 19.130213219380,
+         19.167958540875, 19.214533742022, 19.232930754932, 19.211583489123,
+         19.190509184119, 19.161095589909, 19.142843433049, 19.137751283878],
+    ),
+    "P2": (
+        [0.001, 0.002, 0.003, 0.004, 0.005, 0.007, 0.011, 0.019, 0.035,
+         0.067, 0.131, 0.259, 0.515, 0.771, 1.283],
+        [7.017887375300, 10.943356204479, 11.907667438991, 12.034015796235,
+         12.071678019092, 12.102540829359, 12.130942950170, 12.149767325164,
+         12.158524193373, 12.150197353115, 12.136946342945, 12.135277741367,
+         12.137200831039, 12.136897885656, 12.137579537381],
+    ),
+    "Q2": (
+        [0.001, 0.002, 0.003, 0.004, 0.005, 0.006, 0.008, 0.01, 0.012,
+         0.016, 0.024, 0.04, 0.07200000000000001, 0.136, 0.264, 0.52, 1.032],
+        [6.676910492399, 10.604753582870, 12.040938711140, 12.326762371045,
+         12.475859818171, 12.560030120128, 12.692436614590, 12.796671472338,
+         12.861323123328, 12.944704396284, 13.030176395875, 13.085259400023,
+         13.135558824839, 13.164732847222, 13.172984170041, 13.172490290116,
+         13.168795911291],
+    ),
+}
+
+
+class TestElementTypes:
+    """Q1/P2/Q2 end-to-end footing solves vs the instrumented reference."""
+
+    @pytest.mark.parametrize("etype", ["Q1", "P2", "Q2"])
+    def test_schedule_and_pressures_match_reference(self, etype):
+        ref_z, ref_p = REFERENCE_BY_ETYPE[etype]
+        r = solve(
+            FootingConfig(
+                etype=getattr(ElementType, etype),
+                level=0,
+                bug_compatible_apex=True,
+            )
+        )
+        n = int(r.n_steps)
+        assert n == len(ref_z)
+        np.testing.assert_allclose(
+            np.asarray(r.zeta_hist[1 : n + 1]), ref_z, rtol=0, atol=0
+        )
+        p = np.asarray(r.pressure_hist[1 : n + 1])
+        rel = np.abs(p - ref_p).max() / np.max(ref_p)
+        assert rel < 1e-11, rel
 
 
 class TestFastPath:
