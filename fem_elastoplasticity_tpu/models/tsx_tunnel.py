@@ -767,6 +767,19 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta, resume=resume
         )
 
+    if extras is not None:
+        # static metadata for out-of-band tooling (tools/scale_profile.py):
+        # everything array-valued is already in `args`; these are the
+        # matching static metas/dims a probe needs to call the same
+        # ops/spmv kernels outside the stepper
+        extras["probe"] = dict(
+            mg_metas=ell["metas"] if ell is not None else None,
+            res_metas=res_metas,
+            plastic_cap=plastic_cap,
+            statics=(n_nodes, n_q, n_real),
+            consts=(shear, bulk, eta, c),
+            cg=(cg_tol, cfg.cg_maxiter, cfg.cg_structure),
+        )
     if extras is not None and cfg.solver in ("cg", "mg", "ell"):
         from ..ops.df32 import df_barrier as _dfb
         from ..ops.df32 import df_mul as _dfm
