@@ -160,6 +160,16 @@ class TsxTunnelConfig:
     # bit-level comparisons against the raw reference (u40 -1.979449671e-3
     # instead of the fixed-semantics -1.979449964e-3, ~1.5e-7 apart).
     bug_compatible_ep_reset: bool = False
+    # V-cycle pre/post smoothing sweeps (solver="mg"/"ell"); the V-cycle
+    # dominates per-CG-iteration cost at scale (~0.9 ms vs 0.05 ms fine
+    # matvec at level 3), so nu trades preconditioner strength (CG
+    # iteration count) against per-application cost — tunable on hardware
+    mg_nu: int = 2
+    # windowed-ELL overflow budget (ops/spmv.py build_ell /
+    # build_ell_df): larger values shrink the window J (smaller main
+    # operator, faster kernel) but grow the exact slot-df overflow side
+    # operator; tune on hardware at level >= 4 (ROADMAP r2 #1)
+    ell_overflow_frac: float = 0.005
     # Tunnel support pressure (MPa), ramped with the excavation factor and
     # applied as a normal traction on the tunnel-wall edges via the
     # arc-length surface rules (beyond-reference: the reference's surface

@@ -34,6 +34,7 @@ class FootingResult(NamedTuple):
     n_newton_total: int
     n_plastic: int
     mesh: Mesh
+    n_cg_total: int = 0  # cumulative CG iterations (0 on the dense path)
 
 
 def build_mesh(cfg: FootingConfig) -> Mesh:
@@ -175,6 +176,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )
 
 
@@ -337,4 +339,5 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )

@@ -51,6 +51,7 @@ class TsxResult(NamedTuple):
     n_newton_total: int
     n_plastic: int
     mesh: Mesh
+    n_cg_total: int = 0  # cumulative CG iterations (0 on the dense path)
 
 
 def tsx_mesh(
@@ -249,7 +250,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
                     jax.scipy.linalg.cho_solve(cho0, r[idx0])
                 )
 
-            mg_pre = mg.make_vcycle(mg_levels, coarse_solve, nu=2)
+            mg_pre = mg.make_vcycle(mg_levels, coarse_solve, nu=cfg.mg_nu)
 
         # elastic predictor (T:1748): K u = -F0 (+ support traction)
         cho = None
@@ -319,6 +320,7 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )
 
 
@@ -490,7 +492,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             "slot" if gdf.hi.n_int < 100_000 else "ell"
         )
         _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(
-            gdf, fmt=_res_fmt
+            gdf, fmt=_res_fmt, max_overflow_frac=cfg.ell_overflow_frac
         )
         res_metas = (_Gm, _Sm)
     monitor_dof = 2 * monitor_node
@@ -676,7 +678,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                         jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                     )
 
-                mg_pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=2)
+                mg_pre = mgm.make_vcycle(mg_levels, coarse_solve, nu=cfg.mg_nu)
                 pre = mg_pre
             elif cfg.solver == "ell":
                 from ..solve import multigrid as mgm
@@ -690,7 +692,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                         a["inv0"] @ r[idx0]
                     )
 
-                vc = mgm.make_vcycle_ell(ell["metas"], coarse_solve, nu=2)
+                vc = mgm.make_vcycle_ell(ell["metas"], coarse_solve, nu=cfg.mg_nu)
                 mg_pre = lambda r: vc(a["mg_ell"], r)
                 pre = mg_pre
             else:
@@ -804,13 +806,13 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                     coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                         a["inv0"] @ r[idx0]
                     )
-                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=2)
+                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=cfg.mg_nu)
                     return lambda r: vc(a["mg_ell"], r)
                 coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                     jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])
                 )
                 mg_levels = mgm.mg_levels_from_arrays(a["mg_arrays"], mg_static)
-                return mgm.make_vcycle(mg_levels, coarse, nu=2)
+                return mgm.make_vcycle(mg_levels, coarse, nu=cfg.mg_nu)
             blocks = asm.node_block_diagonal(g.hi, D)
             return block_jacobi_preconditioner(blocks, a["free_mask"])
 
@@ -892,7 +894,7 @@ def build_df32_chunked(
             zeta_old=res.zeta, d_zeta=res.d_zeta,
             d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
             zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
-            nits_total=res.n_newton_total,
+            nits_total=res.n_newton_total, ncg_total=res.n_cg_total,
         )
 
     def _save_ckpt(path, carry):
@@ -1033,6 +1035,7 @@ def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )
 
 
@@ -1129,6 +1132,7 @@ def solve_sharded(
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )
 
 
@@ -1278,4 +1282,5 @@ def solve_sharded_df32(
         n_newton_total=int(res.n_newton_total),
         n_plastic=int(res.n_plastic),
         mesh=mesh,
+        n_cg_total=int(res.n_cg_total),
     )

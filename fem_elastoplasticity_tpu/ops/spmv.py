@@ -805,7 +805,9 @@ def sp_matvec_df(arrays: dict, meta, v_hi, v_lo):
     return slot_matvec_df(arrays, meta, v_hi, v_lo)
 
 
-def build_residual_slot_df(gdf, fmt: str = "slot"):
+def build_residual_slot_df(
+    gdf, fmt: str = "slot", max_overflow_frac: float = 0.005
+):
     """Assembled strain/force operators for the df32 Newton residual.
 
     The matrix-free df32 residual (`ops.assembly_df`) is bound by XLA's
@@ -857,7 +859,7 @@ def build_residual_slot_df(gdf, fmt: str = "slot"):
         # S's columns are component-major integration points (offsets 0 /
         # n_int / 2*n_int): split per component so each part's columns
         # cluster and window tightly (SplitColsDfMeta note)
-        Ga, Gm = build_ell_df(G)
+        Ga, Gm = build_ell_df(G, max_overflow_frac)
         Sa: dict = {}
         parts = []
         for a3 in range(3):
@@ -867,7 +869,7 @@ def build_residual_slot_df(gdf, fmt: str = "slot"):
                 shape=(n2, n_int),
             ).tocsr()
             Sc.sum_duplicates()
-            aa, mm = build_ell_df(Sc)
+            aa, mm = build_ell_df(Sc, max_overflow_frac)
             for kk, vv in aa.items():
                 Sa[f"p{a3}_{kk}"] = vv
             parts.append(mm)

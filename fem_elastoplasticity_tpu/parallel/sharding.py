@@ -100,7 +100,7 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
 
     out_specs = LoadSteppingResult(
         u=r, ep=e_c, zeta_hist=r, monitor_hist=r, n_steps=r,
-        n_newton_total=r, zeta=r, d_zeta=r, n_plastic=r,
+        n_newton_total=r, zeta=r, d_zeta=r, n_plastic=r, n_cg_total=r,
         u_old=r, u_it=r, d_zeta_old=r, aux=r,
     )
 
@@ -213,7 +213,7 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
     edf = DF(e_c, e_c)
     out_specs = LoadSteppingResult(
         u=rdf, ep=edf, zeta_hist=r, monitor_hist=rdf, n_steps=r,
-        n_newton_total=r, zeta=rdf, d_zeta=rdf, n_plastic=r,
+        n_newton_total=r, zeta=rdf, d_zeta=rdf, n_plastic=r, n_cg_total=r,
         u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=r,
     )
 

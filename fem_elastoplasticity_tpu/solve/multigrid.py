@@ -366,21 +366,28 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
     Same cycle structure as `make_vcycle` but every operator application
     is an assembled-sparse Pallas matvec (`ops.spmv.sp_matvec` —
     windowed-ELL or compacted-slot, per the hierarchy's build fmt).
+
+    The nu smoothing sweeps are statically unrolled: a `fori_loop` here
+    measured ~0.45 ms of pure loop overhead per extra trip count at
+    level 3 (the whole V-cycle's constituent kernels sum to <0.1 ms) —
+    the dynamic loop serialized the tiny per-level programs behind its
+    carry.  Code size is no concern on this path: the sweep body is one
+    compact Pallas matvec + elementwise ops (unlike `make_vcycle`'s
+    matrix-free body, which keeps the shared-body fori_loop).
     """
     from ..ops import spmv
 
     top = len(metas) - 1
 
     def smooth(arr, meta, z, r):
-        def sweep(_, z):
+        for _ in range(nu):
             res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
             res = jnp.where(arr["free"], res, 0.0)
             dz = jnp.einsum(
                 "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
             ).reshape(-1)
-            return z + jnp.where(arr["free"], dz, 0.0)
-
-        return jax.lax.fori_loop(0, nu, sweep, z)
+            z = z + jnp.where(arr["free"], dz, 0.0)
+        return z
 
     def vcycle(arrays, li, r):
         arr, meta = arrays[li], metas[li]

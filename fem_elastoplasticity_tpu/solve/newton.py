@@ -99,6 +99,7 @@ class LoadSteppingResult(NamedTuple):
     zeta: jnp.ndarray  # final accepted load factor (DF in df32 mode)
     d_zeta: jnp.ndarray
     n_plastic: jnp.ndarray  # integration points with nonzero plastic strain
+    n_cg_total: jnp.ndarray  # cumulative inner CG iterations (0 on dense paths)
     # carry tail for exact checkpoint/resume (utils.checkpoint)
     u_old: jnp.ndarray
     u_it: jnp.ndarray
@@ -499,7 +500,7 @@ def build_load_stepper(
                                 .at[free_idx]
                                 .set(dU_free)
                             )
-                            return dU, jnp.asarray(True)
+                            return dU, jnp.asarray(True), jnp.asarray(0)
                         fresh = smw
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
@@ -507,7 +508,7 @@ def build_load_stepper(
                     )
                 dU_free = jax.lax.cond(any_plastic, fresh, reuse)
             dU = jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
-            return dU, jnp.asarray(True)
+            return dU, jnp.asarray(True), jnp.asarray(0)
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
         else:
@@ -556,7 +557,7 @@ def build_load_stepper(
                 c=res.converged, bm=jnp.abs(f_int).max(),
                 xm=jnp.abs(res.x).max(),
             )
-        return res.x, res.converged
+        return res.x, res.converged, res.iters
 
     def inner_newton(U_it, ep, zeta):
         """Semi-smooth Newton at fixed load factor.
@@ -567,17 +568,17 @@ def build_load_stepper(
         u_head = (lambda u: u.hi) if df_mode else (lambda u: u)
 
         def cond(carry):
-            _, _, crit, it, fail = carry
+            _, _, crit, it, _, fail = carry
             return (~fail) & (crit >= settings.newton_tol) & (it < settings.maxit)
 
         def body(carry):
-            U_it, dU_prev, _, it, _ = carry
+            U_it, dU_prev, _, it, ncg, _ = carry
             s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
             f_int = residual_force(s_rm, zeta)
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
-            dU, ok = newton_solve(ds_rm, f_int, any_p, ind_p=ind_p)
+            dU, ok, cg_its = newton_solve(ds_rm, f_int, any_p, ind_p=ind_p)
             U_new = (
                 df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
                 if df_mode
@@ -595,15 +596,22 @@ def build_load_stepper(
                     d=jnp.abs(dU).max(),
                 )
             U_next = _wsel(fail, U_it, U_new)
-            return (U_next, dU, crit, it + 1, fail)
+            return (U_next, dU, crit, it + 1, ncg + cg_its.astype(ncg.dtype), fail)
 
-        U, _, crit, nits, fail = jax.lax.while_loop(
+        U, _, crit, nits, ncg, fail = jax.lax.while_loop(
             cond,
             body,
-            (U_it, jnp.zeros((n_dofs,), dtype), big, jnp.asarray(0), jnp.asarray(False)),
+            (
+                U_it,
+                jnp.zeros((n_dofs,), dtype),
+                big,
+                jnp.asarray(0),
+                jnp.asarray(0),
+                jnp.asarray(False),
+            ),
         )
         crit = jnp.where(fail, jnp.asarray(jnp.nan, dtype), crit)
-        return U, crit, nits
+        return U, crit, nits, ncg
 
     if monitor is None:
         monitor = (
@@ -619,7 +627,7 @@ def build_load_stepper(
 
         `resume`: optional mapping with keys matching the carry fields
         (`u, u_old, u_it, ep, zeta_old, d_zeta, d_zeta_old, step, aux,
-        zeta_hist, monitor_hist, nits_total`) to restart from a
+        zeta_hist, monitor_hist, nits_total, ncg_total`) to restart from a
         checkpoint (`utils.checkpoint`); missing keys use fresh values.
         Native precision only.
         """
@@ -638,6 +646,7 @@ def build_load_stepper(
             zeta_hist: jnp.ndarray
             mon_hist: jnp.ndarray
             nits_total: jnp.ndarray
+            ncg_total: jnp.ndarray
             trips: jnp.ndarray
             done: jnp.ndarray
 
@@ -660,6 +669,7 @@ def build_load_stepper(
                 zeta_hist=zeros_h,
                 mon_hist=DF(zeros_h, zeros_h),
                 nits_total=jnp.asarray(0),
+                ncg_total=jnp.asarray(0),
                 trips=jnp.asarray(0),
                 done=jnp.asarray(False),
             )
@@ -677,6 +687,7 @@ def build_load_stepper(
                 zeta_hist=zeros_h,
                 mon_hist=zeros_h,
                 nits_total=jnp.asarray(0),
+                ncg_total=jnp.asarray(0),
                 trips=jnp.asarray(0),
                 done=jnp.asarray(False),
             )
@@ -706,7 +717,7 @@ def build_load_stepper(
                 if df_mode
                 else s.zeta_old + s.d_zeta
             )
-            U_conv, crit, nits = inner_newton(s.U_it, s.ep, zeta)
+            U_conv, crit, nits, ncg = inner_newton(s.U_it, s.ep, zeta)
             accepted = crit < settings.accept_tol  # False for NaN
 
             s_rm, _, _, _, ep_new = return_map(U_conv, s.ep, zeta, apply=True)
@@ -761,7 +772,9 @@ def build_load_stepper(
                 U=U, U_old=U_old, U_it=U_it, ep=ep, zeta_old=zeta_old,
                 d_zeta=d_zeta, d_zeta_old=d_zeta_old, step=step, aux=aux,
                 zeta_hist=zeta_hist, mon_hist=mon_hist,
-                nits_total=s.nits_total + nits, trips=s.trips + 1, done=done,
+                nits_total=s.nits_total + nits,
+                ncg_total=s.ncg_total + ncg.astype(s.ncg_total.dtype),
+                trips=s.trips + 1, done=done,
             )
 
         s = jax.lax.while_loop(cond, body, c0)
@@ -783,6 +796,7 @@ def build_load_stepper(
             zeta=s.zeta_old,
             d_zeta=s.d_zeta,
             n_plastic=n_plast,
+            n_cg_total=s.ncg_total,
             u_old=s.U_old,
             u_it=s.U_it,
             d_zeta_old=s.d_zeta_old,

@@ -33,6 +33,7 @@ class SolverCheckpoint(NamedTuple):
     zeta_hist: np.ndarray
     monitor_hist: np.ndarray
     nits_total: int
+    ncg_total: int = 0  # cumulative CG iterations (0 for dense solvers)
 
 
 def save(path: str, ckpt: SolverCheckpoint) -> None:
@@ -56,4 +57,5 @@ def load(path: str) -> SolverCheckpoint:
         zeta_hist=raw["zeta_hist"],
         monitor_hist=raw["monitor_hist"],
         nits_total=int(raw["nits_total"]),
+        ncg_total=int(raw["ncg_total"]) if "ncg_total" in raw else 0,
     )

@@ -117,14 +117,53 @@ def main():
         args, np, reps,
     )
 
-    # 2. full V-cycle (preconditioner application)
-    def vc_body(a, x):
-        idx0 = a["free_idx0"]
-        coarse = lambda r: jnp.zeros_like(r).at[idx0].set(a["inv0"] @ r[idx0])
-        vc = mgm.make_vcycle_ell(metas, coarse, nu=2)
-        return norm(vc(a["mg_ell"], x))
+    # 2. full V-cycle (preconditioner application), nu = 2 and 1
+    def vc_body_nu(nu):
+        def vc_body(a, x):
+            idx0 = a["free_idx0"]
+            coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
+                a["inv0"] @ r[idx0]
+            )
+            vc = mgm.make_vcycle_ell(metas, coarse, nu=nu)
+            return norm(vc(a["mg_ell"], x))
 
-    results["vcycle"] = _wall(fori_probe(vc_body), args, np, reps)
+        return vc_body
+
+    results["vcycle"] = _wall(fori_probe(vc_body_nu(2)), args, np, reps)
+    results["vcycle_nu1"] = _wall(fori_probe(vc_body_nu(1)), args, np, reps)
+
+    # 2b. V-cycle constituents at the FINE level only: one smoother sweep
+    # (matvec + mask + 2x2 block einsum + mask) vs its bare matvec — the
+    # delta is the XLA elementwise/einsum overhead a fused Pallas
+    # smoother would remove
+    def sweep_body(a, x):
+        arr, meta = a["mg_ell"][top], metas[top]
+        res = x - spmv.sp_matvec(arr["op"], meta["op"], x)
+        res = jnp.where(arr["free"], res, 0.0)
+        dz = jnp.einsum(
+            "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
+        ).reshape(-1)
+        return norm(x + jnp.where(arr["free"], dz, 0.0))
+
+    results["smooth_sweep_fine"] = _wall(fori_probe(sweep_body), args, np, reps)
+
+    # 2c. transfer ops at the fine level (R then P)
+    def rp_body(a, x):
+        arr, meta = a["mg_ell"][top], metas[top]
+        rc = spmv.sp_matvec(arr["R"], meta["R"], x)
+        xf = spmv.sp_matvec(arr["P"], meta["P"], rc)
+        return norm(xf)
+
+    results["restrict_prolong"] = _wall(fori_probe(rp_body), args, np, reps)
+
+    # 2d. coarse direct solve (masked explicit-inverse matmul)
+    def coarse_body(a, x):
+        idx0 = a["free_idx0"]
+        r0 = jnp.zeros((a["inv0"].shape[0],), jnp.float32) + x[0]
+        z = a["inv0"] @ r0
+        return norm(x * (1.0 + 0.0 * z[0]))
+
+    results["coarse_solve"] = _wall(fori_probe(coarse_body), args, np, reps)
 
     # 3/4. df32 residual operators: strains (G) and internal force (S)
     def g_body(a, x):
