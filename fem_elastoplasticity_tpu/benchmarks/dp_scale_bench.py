@@ -15,15 +15,16 @@ weak #3).
 
 Run on TPU:  python -m fem_elastoplasticity_tpu.benchmarks.dp_scale_bench [levels...]
 
-Measured (2026-08-18, v5e single chip, warm walls, median of 3,
-solver="ell" + assembled df32 slot residual + static slot unroll):
+Measured (2026-08-19, v5e single chip, warm walls, median of 3,
+solver="ell" + assembled df32 slot residual + static slot/smoother
+unroll; n_cg = cumulative inner PCG iterations):
 
-  level  elems   DOFs    wall      steps/its  plastic  u40
-  1      3.5k    3.7k    0.155 s   17/37      20       -2.166787e-3
-  2      14.2k   14.5k   0.341 s   17/42      82       -2.237798e-3
-  3      56.8k   57.3k   1.342 s   17/48      379      -2.258740e-3
-  4      227k    228k    6.76 s    17/52      1477     -2.264312e-3
-  5      908k    910k    51.2 s    17/57      5955     -2.265345e-3
+  level  elems   DOFs    wall      steps/its/cg  plastic  u40
+  1      3.5k    3.7k    0.097 s   17/37/—       20       -2.166787e-3
+  2      14.2k   14.5k   0.243 s   17/42/402     82       -2.237798e-3
+  3      56.8k   57.3k   1.055 s   17/48/~770    379      -2.258740e-3
+  4      227k    228k    4.98 s    17/52/777     1477     -2.264312e-3
+  5      908k    910k    37.5 s    17/57/998     5955     -2.265345e-3
 
 (u40 converges toward the P4 high-order value -2.267e-3 under
 refinement — the plastic zone is progressively better resolved.)
@@ -115,6 +116,7 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
             "compile_plus_first_s": t_first,
             "n_steps": int(res.n_steps),
             "n_newton_total": int(res.n_newton_total),
+            "n_cg_total": int(getattr(res, "n_cg_total", -1)),
             "n_plastic": int(res.n_plastic),
             "u40": u40,
         }

@@ -379,14 +379,20 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
 
     top = len(metas) - 1
 
-    def smooth(arr, meta, z, r):
-        for _ in range(nu):
-            res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
-            res = jnp.where(arr["free"], res, 0.0)
+    def smooth(arr, meta, z, r, z_is_zero=False):
+        for k in range(nu):
+            if z_is_zero and k == 0:
+                # first pre-smoothing sweep from z=0: res = r exactly, so
+                # the operator application is a wasted full matvec
+                res = r
+            else:
+                res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
+                res = jnp.where(arr["free"], res, 0.0)
             dz = jnp.einsum(
                 "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
             ).reshape(-1)
-            z = z + jnp.where(arr["free"], dz, 0.0)
+            dz = jnp.where(arr["free"], dz, 0.0)
+            z = dz if (z_is_zero and k == 0) else z + dz
         return z
 
     def vcycle(arrays, li, r):
@@ -394,7 +400,7 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         r = jnp.where(arr["free"], r, 0.0)
         if li == 0:
             return jnp.where(arr["free"], coarse_solve(r), 0.0)
-        z = smooth(arr, meta, jnp.zeros_like(r), r)
+        z = smooth(arr, meta, jnp.zeros_like(r), r, z_is_zero=True)
         res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
         res = jnp.where(arr["free"], res, 0.0)
         r_c = spmv.sp_matvec(arr["R"], meta["R"], res)
@@ -416,7 +422,7 @@ def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
       nu: pre/post smoothing sweeps (damped block-Jacobi).
     """
 
-    def smooth(lev: MGLevel, z, r):
+    def smooth(lev: MGLevel, z, r, z_is_zero=False):
         # fori_loop shares one copy of the sweep body across nu sweeps —
         # XLA:TPU generated-code size scales with mesh size per op
         # instance, and the V-cycle instantiates smooth at two call sites
@@ -429,14 +435,22 @@ def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
             ).reshape(-1)
             return z + jnp.where(lev.free_flat, dz, 0.0)
 
-        return jax.lax.fori_loop(0, nu, sweep, z)
+        lo = 0
+        if z_is_zero:
+            # first sweep from z=0: res = r exactly — skip the matvec
+            dz = jnp.einsum(
+                "nij,nj->ni", lev.inv_blocks, r.reshape(-1, 2)
+            ).reshape(-1)
+            z = jnp.where(lev.free_flat, dz, 0.0)
+            lo = 1
+        return jax.lax.fori_loop(lo, nu, sweep, z)
 
     def vcycle(li: int, r):
         lev = levels[li]
         r = jnp.where(lev.free_flat, r, 0.0)
         if li == 0:
             return jnp.where(lev.free_flat, coarse_solve(r), 0.0)
-        z = smooth(lev, jnp.zeros_like(r), r)
+        z = smooth(lev, jnp.zeros_like(r), r, z_is_zero=True)
         res = r - asm.tangent_matvec(lev.geom, lev.d, z)
         res = jnp.where(lev.free_flat, res, 0.0)
         n_c = levels[li - 1].geom.n_nodes
