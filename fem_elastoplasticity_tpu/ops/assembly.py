@@ -445,15 +445,27 @@ def plastic_slots(ind_p: jnp.ndarray, p_max: int):
     gather/scatter correction instead of the serialized full-mesh
     matrix-free path.
 
-    `top_k` keeps the compaction scatter-free (XLA:TPU serializes scatter
-    at ~8 ns/element; top_k is vectorized).  Ties preserve ascending qp
-    order.  Returns (idx (p_max,) i32, valid (p_max,) bool).  If more
-    than p_max points are plastic, the overflow is dropped: the CG
-    operator then applies an inexact (still symmetric) tangent — Newton's
-    residual is exact, so this costs iterations, never accuracy.
+    The compaction is scatter-free AND sort-free: a prefix sum over the
+    mask plus `searchsorted` for the slot positions (slot s holds the
+    index of the (s+1)-th plastic point, ascending).  The earlier
+    `lax.top_k` implementation had identical semantics (ties prefer the
+    lower index) but its TPU lowering scales ~O(n_int * p_max) — profiled
+    at ~40 ms per Newton iteration at 227k points / cap 3548, the single
+    largest per-iteration cost at scale; cumsum+searchsorted is
+    O(n_int + p_max * log n_int) batched gathers (<1 ms there).  Returns
+    (idx (p_max,) i32, valid (p_max,) bool).  If more than p_max points
+    are plastic, the overflow is dropped: the CG operator then applies an
+    inexact (still symmetric) tangent — Newton's residual is exact, so
+    this costs iterations, never accuracy.
     """
-    vals, idx = jax.lax.top_k(ind_p.astype(jnp.int32), p_max)
-    return idx.astype(jnp.int32), vals > 0
+    cnt = jnp.cumsum(ind_p.astype(jnp.int32))
+    idx = jnp.searchsorted(
+        cnt, jnp.arange(1, p_max + 1, dtype=cnt.dtype), side="left"
+    )
+    valid = jnp.arange(p_max) < cnt[-1]
+    # padding slots point at 0 (inert: gather callers zero their weights)
+    idx = jnp.where(valid, idx, 0)
+    return idx.astype(jnp.int32), valid
 
 
 def plastic_correction_gather(

@@ -182,7 +182,10 @@ def main():
 
     results["S_df"] = _wall(fori_probe(s_body), args, np, reps)
 
-    # 5. df32 return map (XLA lanes; the fused Pallas kernel is f32-only)
+    # 5. df32 return map (XLA lanes; the fused Pallas kernel is f32-only).
+    # The outputs MUST feed the probe result with nonzero weights: an
+    # earlier version multiplied them by 0.0 and XLA dead-code-eliminated
+    # the entire return map (it printed 0.000 ms).
     def rm_body(a, x):
         scale = 1.0 + jnp.abs(x[0])
         e = DF(a["e_hi"] * scale, jnp.zeros_like(a["e_hi"]))
@@ -191,11 +194,23 @@ def main():
         s, ds, ind_p, _, _ = mdf.dp_return_map_lanes_df(
             e, ep, shear, bulk, eta, c, e0=e0
         )
-        return norm(x + s.hi[0, : x.shape[0]][: x.shape[0]].sum() * 0 + x * 0 + x) * (
-            1.0 + 0.0 * ds[0, 0, 0] + 0.0 * ind_p[0]
+        probe = (
+            s.hi[0].sum() + s.lo[0].sum() + ds[0, 0].sum()
+            + ind_p.sum().astype(jnp.float32)
         )
+        return norm(x * (1.0 + 1e-20 * probe))
 
     results["return_map_df"] = _wall(fori_probe(rm_body), args, np, reps)
+
+    # 5b. plastic-slot compaction alone (was lax.top_k: ~40 ms at level 4
+    # — the dominant per-Newton-iteration cost; now cumsum+searchsorted)
+    def slots_body(a, x):
+        ind_p = (a["e_hi"][0] * (1.0 + jnp.abs(x[0]))) > 0.0
+        idx_p, valid_p = asm.plastic_slots(ind_p, plastic_cap)
+        probe = idx_p.sum() + valid_p.sum()
+        return norm(x * (1.0 + 1e-20 * probe.astype(jnp.float32)))
+
+    results["plastic_slots"] = _wall(fori_probe(slots_body), args, np, reps)
 
     # 6. criterion: two assembled elastic matvecs + dots
     def crit_body(a, x):
@@ -218,7 +233,8 @@ def main():
         Bp, wdelta, edp = asm.plastic_correction_gather(
             g_hi, ddelta, idx_p, valid_p
         )
-        return norm(x + 0.0 * Bp.reshape(-1)[0] + 0.0 * wdelta.reshape(-1)[0])
+        probe = Bp[0, 0].sum() + wdelta[0, 0].sum() + edp[0].sum()
+        return norm(x * (1.0 + 1e-20 * probe.astype(jnp.float32)))
 
     results["corr_gather"] = _wall(fori_probe(cg_gather_body), args, np, reps)
 
@@ -324,7 +340,8 @@ def main():
           f"(dispatch wall incl. ~30 ms tunnel)")
     model_it = (
         results["return_map_df"] + results["G_df"] + results["S_df"]
-        + results["criterion"] + results["corr_gather"]
+        + results["criterion"] + results["plastic_slots"]
+        + results["corr_gather"]
         + cg_iters * (
             results["op_matvec"] + results["corr_apply"] + results["vcycle"]
         )
