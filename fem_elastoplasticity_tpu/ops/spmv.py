@@ -1106,3 +1106,141 @@ def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
             interpret=interpret,
         )(arrays["srow"], arrays["cidx"], arrays["vals"], v2)
     return out.reshape(-1)[: meta.n2]
+
+
+def _slot_sweep_kernel(meta: SlotMeta, update: bool, unroll: bool = True):
+    """Fused block-Jacobi smoother sweep (see `slot_sweep`).
+
+    res = mask * (r - K z); update=True additionally applies the damped
+    2x2 nodal block inverse in lane-aligned form (the even/odd partner
+    value comes from an in-kernel pairwise lane gather, iota^1) and
+    returns z + mask * (msf*res + mpr*res_pair); update=False returns
+    the masked residual alone (the restriction input).
+    """
+
+    def kern(
+        srow_ref, cidx_ref, vals_ref, v_ref, r_ref, mask_ref,
+        msf_ref, mpr_ref, o_ref,
+    ):
+        import jax.experimental.pallas as pl
+
+        def body(s, acc):
+            tile = jnp.concatenate(
+                [v_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+                axis=0,
+            )
+            gat = jnp.take_along_axis(tile, cidx_ref[0, s], axis=1)
+            return acc + vals_ref[0, s] * gat
+
+        acc = _slot_iter(
+            meta.s_pad, body, jnp.zeros((8, 128), jnp.float32), unroll
+        )
+        res = (r_ref[...] - acc) * mask_ref[...]
+        if not update:
+            o_ref[...] = res
+            return
+        sw = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) ^ 1
+        res_sw = jnp.take_along_axis(res, sw, axis=1)
+        blk = pl.program_id(0)
+        zblk = v_ref[pl.ds(blk * 8, 8), :]
+        o_ref[...] = zblk + (
+            msf_ref[...] * res + mpr_ref[...] * res_sw
+        ) * mask_ref[...]
+
+    return kern
+
+
+def build_sweep_aux(inv: np.ndarray, free_flat: np.ndarray, meta: SlotMeta):
+    """Host build of the fused-sweep per-level constants.
+
+    inv: (n_n, 2, 2) damped block-Jacobi inverse (omega included);
+    free_flat: (2*n_n,) bool.  Returns dict(mask, msf, mpr) padded to the
+    kernel's (n_sb*8, 128) output blocks: for DOF i = 2k+c,
+    msf[i] = inv[k, c, c] (own-lane coefficient) and
+    mpr[i] = inv[k, c, 1-c] (partner-lane coefficient).
+    """
+    n = free_flat.shape[0]
+    rows = meta.n_sb * 8
+    inv = np.asarray(inv, np.float32)
+    msf = np.zeros((rows * 128,), np.float32)
+    mpr = np.zeros((rows * 128,), np.float32)
+    mask = np.zeros((rows * 128,), np.float32)
+    k = np.arange(n) // 2
+    cc = np.arange(n) % 2
+    msf[:n] = inv[k, cc, cc]
+    mpr[:n] = inv[k, cc, 1 - cc]
+    mask[:n] = np.asarray(free_flat, np.float32)
+    return dict(
+        mask=jnp.asarray(mask.reshape(rows, 128)),
+        msf=jnp.asarray(msf.reshape(rows, 128)),
+        mpr=jnp.asarray(mpr.reshape(rows, 128)),
+    )
+
+
+def slot_sweep(
+    arrays: dict,
+    meta: SlotMeta,
+    aux: dict,
+    z: jnp.ndarray,
+    r2: jnp.ndarray,
+    update: bool = True,
+) -> jnp.ndarray:
+    """One fused smoother sweep / masked residual on a SQUARE slot operator.
+
+    Collapses the V-cycle's per-sweep chain (Pallas matvec + subtract +
+    mask + 2x2 block einsum + mask + add — each a separate full-vector
+    XLA op between custom calls) into ONE Pallas kernel: the operator
+    values stream once and the residual/update happen in VMEM.  The 2x2
+    nodal inverse is applied lane-aligned (`aux` from `build_sweep_aux`);
+    the partner component comes from a pairwise in-kernel lane gather.
+
+    z: flat (n2,) current iterate.  r2: (n_sb*8, 128) padded residual
+    blocks (`pad_rhs`).  update=False returns mask*(r - K z) flat.
+
+    Numerics note vs the unfused path: the odd-component update computes
+    d*r1 + c*r0 instead of the einsum's c*r0 + d*r1 — same values, one
+    reordered addition, so results can differ by 1 ulp (the V-cycle is a
+    preconditioner; CG trajectories remain within solver tolerance).
+    """
+    import jax.experimental.pallas as pl
+
+    assert meta.n2 == meta.n_in, "fused sweep needs a square operator"
+    rows = max(meta.vrows, meta.n_sb * 8)
+    v2 = jnp.zeros((rows * 128,), jnp.float32).at[: meta.n_in].set(
+        jnp.asarray(z, jnp.float32)
+    ).reshape(rows, 128)
+    interpret = jax.default_backend() != "tpu"
+    blk = pl.BlockSpec((8, 128), lambda b: (b, 0))
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _slot_sweep_kernel(meta, update, unroll=not interpret),
+            grid=(meta.n_sb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, meta.s_pad), lambda b: (b, 0, 0),
+                    memory_space=_smem(),
+                ),
+                pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((rows, 128), lambda b: (0, 0)),
+                blk, blk, blk, blk,
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(
+            arrays["srow"], arrays["cidx"], arrays["vals"], v2,
+            r2, aux["mask"], aux["msf"], aux["mpr"],
+        )
+    return out.reshape(-1)[: meta.n2]
+
+
+def pad_rhs(r: jnp.ndarray, meta: SlotMeta) -> jnp.ndarray:
+    """Flat (n2,) -> (n_sb*8, 128) blocks for `slot_sweep`'s r input."""
+    rows = meta.n_sb * 8
+    return (
+        jnp.zeros((rows * 128,), jnp.float32)
+        .at[: meta.n2]
+        .set(jnp.asarray(r, jnp.float32))
+        .reshape(rows, 128)
+    )

@@ -308,6 +308,12 @@ def build_hierarchy_ell(
             inv=jnp.asarray(inv, jnp.float32),
             free=jnp.asarray(free2.reshape(-1)),
         )
+        if fmt == "slot":
+            # fused-sweep constants (ops/spmv.py slot_sweep): lane-aligned
+            # block-inverse coefficients + f32 free mask in kernel blocks
+            entry.update(
+                spmv.build_sweep_aux(inv, free2.reshape(-1), opm)
+            )
         meta = dict(op=opm)
         if l == 0:
             flat0 = free2.reshape(-1)
@@ -379,20 +385,32 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
 
     top = len(metas) - 1
 
-    def smooth(arr, meta, z, r, z_is_zero=False):
+    def _fused(arr, meta):
+        # slot-format hierarchies carry the fused-sweep constants
+        # (build_hierarchy_ell); ELL-format ones fall back to the
+        # unfused sweep chain
+        return "msf" in arr and isinstance(meta["op"], spmv.SlotMeta)
+
+    def smooth(arr, meta, z, r, r2, z_is_zero=False):
         for k in range(nu):
             if z_is_zero and k == 0:
                 # first pre-smoothing sweep from z=0: res = r exactly, so
                 # the operator application is a wasted full matvec
-                res = r
+                dz = jnp.einsum(
+                    "nij,nj->ni", arr["inv"], r.reshape(-1, 2)
+                ).reshape(-1)
+                z = jnp.where(arr["free"], dz, 0.0)
+            elif r2 is not None:
+                # fused Pallas sweep: matvec + residual mask + 2x2 block
+                # inverse + update in ONE kernel (ops/spmv.py slot_sweep)
+                z = spmv.slot_sweep(arr["op"], meta["op"], arr, z, r2)
             else:
                 res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
                 res = jnp.where(arr["free"], res, 0.0)
-            dz = jnp.einsum(
-                "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
-            ).reshape(-1)
-            dz = jnp.where(arr["free"], dz, 0.0)
-            z = dz if (z_is_zero and k == 0) else z + dz
+                dz = jnp.einsum(
+                    "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
+                ).reshape(-1)
+                z = z + jnp.where(arr["free"], dz, 0.0)
         return z
 
     def vcycle(arrays, li, r):
@@ -400,15 +418,21 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         r = jnp.where(arr["free"], r, 0.0)
         if li == 0:
             return jnp.where(arr["free"], coarse_solve(r), 0.0)
-        z = smooth(arr, meta, jnp.zeros_like(r), r, z_is_zero=True)
-        res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
-        res = jnp.where(arr["free"], res, 0.0)
+        r2 = spmv.pad_rhs(r, meta["op"]) if _fused(arr, meta) else None
+        z = smooth(arr, meta, jnp.zeros_like(r), r, r2, z_is_zero=True)
+        if r2 is not None:
+            res = spmv.slot_sweep(
+                arr["op"], meta["op"], arr, z, r2, update=False
+            )
+        else:
+            res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
+            res = jnp.where(arr["free"], res, 0.0)
         r_c = spmv.sp_matvec(arr["R"], meta["R"], res)
         z_c = vcycle(arrays, li - 1, r_c)
         z = z + jnp.where(
             arr["free"], spmv.sp_matvec(arr["P"], meta["P"], z_c), 0.0
         )
-        return smooth(arr, meta, z, r)
+        return smooth(arr, meta, z, r, r2)
 
     return lambda arrays, r: vcycle(arrays, top, r)
 

@@ -490,3 +490,54 @@ def test_slot_matvec_trailing_empty_rows():
         arrays_df, meta_df, jnp.asarray(v), jnp.zeros_like(jnp.asarray(v))
     )
     assert oh.shape == (n,)
+
+
+def test_slot_sweep_matches_unfused():
+    """Fused smoother sweep == matvec + mask + 2x2 block einsum + update.
+
+    The fused kernel reorders one addition in the odd component (msf*res
+    + mpr*res_pair vs the einsum's row dot), so agreement is to f32
+    roundoff, not bitwise.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n_n = 300
+    n = 2 * n_n
+    A = sp.random(n, n, density=0.02, random_state=7)
+    K = (A + A.T + 10 * sp.eye(n)).tocsr()
+    free = rng.random(n) > 0.15
+    Kb = spmv.apply_bc_csr(K.copy(), free)
+    arrays, meta = spmv.build_slot(Kb)
+    blocks = spmv.diag_blocks_csr(Kb, n_n)
+    a_, b_, c_, d_ = (
+        blocks[:, 0, 0], blocks[:, 0, 1], blocks[:, 1, 0], blocks[:, 1, 1]
+    )
+    det = a_ * d_ - b_ * c_
+    inv = (
+        np.stack([np.stack([d_, -b_], -1), np.stack([-c_, a_], -1)], -2)
+        / det[:, None, None]
+    ) * 0.7
+    aux = spmv.build_sweep_aux(inv, free, meta)
+    invj = jnp.asarray(inv, jnp.float32)
+    freej = jnp.asarray(free)
+
+    z = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    r = jnp.where(
+        freej, jnp.asarray(rng.standard_normal(n), jnp.float32), 0.0
+    )
+
+    res = r - spmv.slot_matvec(arrays, meta, z)
+    res = jnp.where(freej, res, 0.0)
+    dz = jnp.einsum("nij,nj->ni", invj, res.reshape(-1, 2)).reshape(-1)
+    z_ref = z + jnp.where(freej, dz, 0.0)
+
+    r2 = spmv.pad_rhs(r, meta)
+    z_fused = spmv.slot_sweep(arrays, meta, aux, z, r2)
+    np.testing.assert_allclose(
+        np.asarray(z_fused), np.asarray(z_ref),
+        atol=1e-6 * float(jnp.abs(z_ref).max()),
+    )
+    # update=False returns the masked residual bit-for-bit
+    res_fused = spmv.slot_sweep(arrays, meta, aux, z, r2, update=False)
+    np.testing.assert_array_equal(np.asarray(res_fused), np.asarray(res))
