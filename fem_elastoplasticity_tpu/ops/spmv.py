@@ -1244,3 +1244,198 @@ def pad_rhs(r: jnp.ndarray, meta: SlotMeta) -> jnp.ndarray:
         .set(jnp.asarray(r, jnp.float32))
         .reshape(rows, 128)
     )
+
+
+# ---------------------------------------------------------------------------
+# packed slot format: bf16 values + u8 lane indices (preconditioner ops)
+# ---------------------------------------------------------------------------
+#
+# The V-cycle smoother is HBM-bandwidth-bound (the f32 slot matvec measures
+# ~690 GB/s, ~84% of v5e peak), so the only way to make it faster is fewer
+# bytes.  A preconditioner does not need f32 operator values: storing them
+# in bf16 costs at most one extra CG iteration (measured on the level-2
+# tangent: 7 -> 8 at nu=2, 10 -> 10 at nu=1), and the lane indices are
+# < 128 so a byte each suffices.  Packing both into 32-bit words keeps the
+# (8, 128) f32/i32 tile layout — narrow dtypes would retile to (16/32, 128)
+# and give the bytes straight back as padding:
+#   * vals: two bf16 per u32 (slot 2k in the HIGH half — a bf16 is the top
+#     16 bits of the f32 with the same value, so unpacking is one mask or
+#     shift plus a bitcast, no 16-bit types in-kernel),
+#   * cidx: four u8 per i32 (slot 4q+j in bits 8j..8j+7).
+# HBM traffic per matrix entry drops 8 -> 3 bytes (~2.7x on the stream
+# that dominates every smoother sweep and masked-residual application).
+# CG's operator A stays on the f32 arrays: an inexact-Newton tangent at
+# cg_tol 1e-5 needs more than bf16's ~3e-3 relative operator accuracy.
+
+
+def _bf16_bits(x32: np.ndarray) -> np.ndarray:
+    """f32 -> round-to-nearest-even bf16, as u32 bit patterns (<= 0xFFFF)."""
+    u = np.ascontiguousarray(x32, np.float32).view(np.uint32)
+    return (u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1))) >> np.uint32(16)
+
+
+def pack_slot_bf16(arrays: dict, meta: SlotMeta) -> dict:
+    """Pack a slot operator for `slot_matvec_pk` / `slot_sweep_pk`.
+
+    Returns dict(srow (n_sb, 8, 4*n_q) i32 [slot-padded copy],
+    cidx_pk (n_sb, n_q, 8, 128) i32, vals_pk (n_sb, 2*n_q, 8, 128) u32)
+    with n_q = ceil(s_pad / 4); padding slots carry zero values (inert).
+    """
+    sp = meta.s_pad
+    n_q = -(-sp // 4)
+    s4 = 4 * n_q
+    n_sb = meta.n_sb
+    # back out the (n_sb*8, s_pad, ...) layouts from the tiled arrays
+    vals = np.asarray(arrays["vals"], np.float32).transpose(0, 2, 1, 3)
+    cidx = np.asarray(arrays["cidx"], np.int64).transpose(0, 2, 1, 3)
+    srow = np.asarray(arrays["srow"], np.int32)
+    assert cidx.max(initial=0) < 128 and cidx.min(initial=0) >= 0
+    pad = ((0, 0), (0, 0), (0, s4 - sp), (0, 0))
+    vals = np.pad(vals, pad)          # (n_sb, 8, s4, 128)
+    cidx = np.pad(cidx, pad)
+    srow = np.pad(srow, ((0, 0), (0, 0), (0, s4 - sp)))
+    bits = _bf16_bits(vals)           # (n_sb, 8, s4, 128) u32
+    vals_pk = (bits[:, :, 0::2] << np.uint32(16)) | bits[:, :, 1::2]
+    c = cidx.astype(np.uint32)
+    cidx_pk = (
+        c[:, :, 0::4]
+        | (c[:, :, 1::4] << np.uint32(8))
+        | (c[:, :, 2::4] << np.uint32(16))
+        | (c[:, :, 3::4] << np.uint32(24))
+    ).astype(np.int64)
+    return dict(
+        srow=jnp.asarray(srow),
+        cidx_pk=jnp.asarray(
+            np.ascontiguousarray(cidx_pk.transpose(0, 2, 1, 3)), jnp.int32
+        ),
+        vals_pk=jnp.asarray(
+            np.ascontiguousarray(vals_pk.transpose(0, 2, 1, 3)), jnp.uint32
+        ),
+    )
+
+
+def _accum_pk(srow_ref, cidxp_ref, valsp_ref, v_ref, n_q: int, unroll: bool):
+    """Shared packed-stream accumulation: sum_s vals[s] * gather(v, s)."""
+    import jax.experimental.pallas as pl
+
+    mask_hi = jnp.uint32(0xFFFF0000)
+
+    def qbody(q, acc):
+        ci_w = cidxp_ref[0, q]                             # (8,128) i32
+        for half in range(2):
+            w = valsp_ref[0, 2 * q + half]                 # (8,128) u32
+            for j2 in range(2):
+                j = 2 * half + j2
+                s = 4 * q + j
+                tile = jnp.concatenate(
+                    [
+                        v_ref[pl.ds(srow_ref[0, p, s], 1), :]
+                        for p in range(8)
+                    ],
+                    axis=0,
+                )
+                ci = (ci_w >> (8 * j)) & 0xFF if j else ci_w & 0xFF
+                gat = jnp.take_along_axis(tile, ci, axis=1)
+                # slot 2k sits in the high half: mask for j2=0, shift for 1
+                vw = w & mask_hi if j2 == 0 else w << 16
+                va = jax.lax.bitcast_convert_type(vw, jnp.float32)
+                acc = acc + va * gat
+        return acc
+
+    return _slot_iter(n_q, qbody, jnp.zeros((8, 128), jnp.float32), unroll)
+
+
+def _pk_specs(meta: SlotMeta, n_q: int):
+    import jax.experimental.pallas as pl
+
+    return [
+        pl.BlockSpec(
+            (1, 8, 4 * n_q), lambda b: (b, 0, 0), memory_space=_smem()
+        ),
+        pl.BlockSpec((1, n_q, 8, 128), lambda b: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 2 * n_q, 8, 128), lambda b: (b, 0, 0, 0)),
+        pl.BlockSpec((meta.vrows, 128), lambda b: (0, 0)),
+    ]
+
+
+def slot_matvec_pk(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
+    """K v with the packed (bf16-value) slot operator — preconditioner use."""
+    import jax.experimental.pallas as pl
+
+    n_q = -(-meta.s_pad // 4)
+    v2 = jnp.zeros((meta.vrows * 128,), jnp.float32).at[: meta.n_in].set(
+        jnp.asarray(v, jnp.float32)
+    ).reshape(meta.vrows, 128)
+    interpret = jax.default_backend() != "tpu"
+
+    def kern(srow_ref, cidxp_ref, valsp_ref, v_ref, o_ref):
+        o_ref[...] = _accum_pk(
+            srow_ref, cidxp_ref, valsp_ref, v_ref, n_q, not interpret
+        )
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(meta.n_sb,),
+            in_specs=_pk_specs(meta, n_q),
+            out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(arrays["srow"], arrays["cidx_pk"], arrays["vals_pk"], v2)
+    return out.reshape(-1)[: meta.n2]
+
+
+def slot_sweep_pk(
+    arrays_pk: dict,
+    meta: SlotMeta,
+    aux: dict,
+    z: jnp.ndarray,
+    r2: jnp.ndarray,
+    update: bool = True,
+) -> jnp.ndarray:
+    """`slot_sweep` on the packed operator stream (same fused epilogue)."""
+    import jax.experimental.pallas as pl
+
+    assert meta.n2 == meta.n_in, "fused sweep needs a square operator"
+    n_q = -(-meta.s_pad // 4)
+    rows = max(meta.vrows, meta.n_sb * 8)
+    v2 = jnp.zeros((rows * 128,), jnp.float32).at[: meta.n_in].set(
+        jnp.asarray(z, jnp.float32)
+    ).reshape(rows, 128)
+    interpret = jax.default_backend() != "tpu"
+
+    def kern(
+        srow_ref, cidxp_ref, valsp_ref, v_ref, r_ref, mask_ref,
+        msf_ref, mpr_ref, o_ref,
+    ):
+        acc = _accum_pk(
+            srow_ref, cidxp_ref, valsp_ref, v_ref, n_q, not interpret
+        )
+        res = (r_ref[...] - acc) * mask_ref[...]
+        if not update:
+            o_ref[...] = res
+            return
+        sw = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) ^ 1
+        res_sw = jnp.take_along_axis(res, sw, axis=1)
+        blk = pl.program_id(0)
+        zblk = v_ref[pl.ds(blk * 8, 8), :]
+        o_ref[...] = zblk + (
+            msf_ref[...] * res + mpr_ref[...] * res_sw
+        ) * mask_ref[...]
+
+    blk = pl.BlockSpec((8, 128), lambda b: (b, 0))
+    specs = _pk_specs(meta, n_q)
+    specs[3] = pl.BlockSpec((rows, 128), lambda b: (0, 0))
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(meta.n_sb,),
+            in_specs=specs + [blk, blk, blk, blk],
+            out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(
+            arrays_pk["srow"], arrays_pk["cidx_pk"], arrays_pk["vals_pk"],
+            v2, r2, aux["mask"], aux["msf"], aux["mpr"],
+        )
+    return out.reshape(-1)[: meta.n2]

@@ -213,6 +213,7 @@ def build_hierarchy_ell(
     ref,
     omega: float = 0.7,
     fmt: str = "ell",
+    pack_bf16: bool = True,
 ):
     """Host-side ELL multigrid build: red refinement + locality ordering.
 
@@ -314,6 +315,11 @@ def build_hierarchy_ell(
             entry.update(
                 spmv.build_sweep_aux(inv, free2.reshape(-1), opm)
             )
+            if pack_bf16:
+                # packed bf16-value operator stream for the smoother /
+                # masked-residual kernels (~2.7x less HBM traffic; the
+                # f32 `op` stays for CG's operator A and the criterion)
+                entry["opk"] = spmv.pack_slot_bf16(opa, opm)
         meta = dict(op=opm)
         if l == 0:
             flat0 = free2.reshape(-1)
@@ -402,8 +408,12 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
                 z = jnp.where(arr["free"], dz, 0.0)
             elif r2 is not None:
                 # fused Pallas sweep: matvec + residual mask + 2x2 block
-                # inverse + update in ONE kernel (ops/spmv.py slot_sweep)
-                z = spmv.slot_sweep(arr["op"], meta["op"], arr, z, r2)
+                # inverse + update in ONE kernel (ops/spmv.py slot_sweep);
+                # packed bf16 operator stream when the hierarchy carries it
+                if "opk" in arr:
+                    z = spmv.slot_sweep_pk(arr["opk"], meta["op"], arr, z, r2)
+                else:
+                    z = spmv.slot_sweep(arr["op"], meta["op"], arr, z, r2)
             else:
                 res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
                 res = jnp.where(arr["free"], res, 0.0)
@@ -421,9 +431,14 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         r2 = spmv.pad_rhs(r, meta["op"]) if _fused(arr, meta) else None
         z = smooth(arr, meta, jnp.zeros_like(r), r, r2, z_is_zero=True)
         if r2 is not None:
-            res = spmv.slot_sweep(
-                arr["op"], meta["op"], arr, z, r2, update=False
-            )
+            if "opk" in arr:
+                res = spmv.slot_sweep_pk(
+                    arr["opk"], meta["op"], arr, z, r2, update=False
+                )
+            else:
+                res = spmv.slot_sweep(
+                    arr["op"], meta["op"], arr, z, r2, update=False
+                )
         else:
             res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
             res = jnp.where(arr["free"], res, 0.0)

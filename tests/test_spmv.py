@@ -541,3 +541,93 @@ def test_slot_sweep_matches_unfused():
     # update=False returns the masked residual bit-for-bit
     res_fused = spmv.slot_sweep(arrays, meta, aux, z, r2, update=False)
     np.testing.assert_array_equal(np.asarray(res_fused), np.asarray(res))
+
+
+def test_packed_slot_matches_bf16_rounded():
+    """Packed (2xbf16/u32 vals, 4xu8/i32 cidx) kernels == the f32 slot
+    kernels run on bf16-rounded values — bitwise: the packed kernels do
+    the identical f32 arithmetic in the identical order, only the
+    operator STREAM is stored narrower (ops/spmv.py pack_slot_bf16)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    n_n = 350
+    n = 2 * n_n
+    A = sp.random(n, n, density=0.02, random_state=5)
+    K = (A + A.T + 10 * sp.eye(n)).tocsr()
+    free = rng.random(n) > 0.15
+    Kb = spmv.apply_bc_csr(K.copy(), free)
+    arrays, meta = spmv.build_slot(Kb)
+    pk = spmv.pack_slot_bf16(arrays, meta)
+
+    # reference arrays: values rounded to bf16 (the packing's only loss)
+    u = np.asarray(arrays["vals"], np.float32).view(np.uint32)
+    u = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16) << 16
+    arrays_bf = dict(arrays, vals=jnp.asarray(u.view(np.float32)))
+
+    v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(spmv.slot_matvec_pk(pk, meta, v)),
+        np.asarray(spmv.slot_matvec(arrays_bf, meta, v)),
+    )
+    # bf16 rounding itself is small: packed matvec ~3e-3-relative of f32
+    y32 = np.asarray(spmv.slot_matvec(arrays, meta, v))
+    ypk = np.asarray(spmv.slot_matvec_pk(pk, meta, v))
+    assert np.abs(ypk - y32).max() <= 4e-3 * np.abs(y32).max()
+
+    inv = rng.standard_normal((n_n, 2, 2)).astype(np.float32)
+    aux = spmv.build_sweep_aux(inv, free, meta)
+    z = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    r2 = spmv.pad_rhs(jnp.asarray(rng.standard_normal(n), jnp.float32), meta)
+    for update in (True, False):
+        np.testing.assert_array_equal(
+            np.asarray(spmv.slot_sweep_pk(pk, meta, aux, z, r2, update)),
+            np.asarray(spmv.slot_sweep(arrays_bf, meta, aux, z, r2, update)),
+        )
+
+
+def test_packed_hierarchy_vcycle_preconditions_cg():
+    """The bf16-packed V-cycle still preconditions CG to convergence and
+    the solution matches the f32-hierarchy solve to solver tolerance
+    (iteration counts may differ by ~1: measured 7 -> 8 at nu=2)."""
+    from fem_elastoplasticity_tpu.solve import multigrid as mgm
+    from fem_elastoplasticity_tpu.solve.cg import solve_cg
+
+    raw = np.load("fem_elastoplasticity_tpu/data/tsx_tunnel_mesh.npz")
+
+    def free_of(cc):
+        fr = np.ones((cc.shape[0], 2), dtype=bool)
+        fr[np.abs(cc[:, 0]) > 49.99, 0] = False
+        fr[np.abs(cc[:, 1]) > 49.99, 1] = False
+        return fr
+
+    from fem_elastoplasticity_tpu.ops.elements import (
+        ElementType, volume_element,
+    )
+
+    ref = volume_element(ElementType.P1)
+    sols = {}
+    for packed in (True, False):
+        arrays, metas, perms, coarse = mgm.build_hierarchy_ell(
+            raw["coords"].astype(np.float64), raw["elems"], 1, free_of,
+            3.0e3, 5.0e3, ref, fmt="slot", pack_bf16=packed,
+        )
+        assert ("opk" in arrays[-1]) == packed
+        top = len(metas) - 1
+        idx0 = jnp.asarray(coarse["free_idx0"])
+        inv0 = coarse["inv0"]
+        coarse_fn = lambda r: jnp.zeros_like(r).at[idx0].set(inv0 @ r[idx0])
+        vc = mgm.make_vcycle_ell(metas, coarse_fn, nu=2)
+        A = lambda v: spmv.sp_matvec(arrays[top]["op"], metas[top]["op"], v)
+        rng = np.random.default_rng(0)
+        n = metas[top]["op"].n2
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        free = arrays[top]["free"]
+        res = solve_cg(
+            A, b, free, precond=lambda r: vc(arrays, r), tol=1e-6,
+            maxiter=100,
+        )
+        assert bool(res.converged), (packed, int(res.iters))
+        sols[packed] = np.asarray(res.x)
+    scale = np.abs(sols[False]).max()
+    assert np.abs(sols[True] - sols[False]).max() <= 1e-4 * scale
