@@ -62,11 +62,15 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
         chunked = level >= 4
         if chunked:
             t0 = time.perf_counter()
-            # level 5: one trip per dispatch + split predictor keeps every
-            # dispatch under the tunnel's long-dispatch abort (~1-2 min)
+            # chunk sizes sized to the tunnel's long-dispatch abort
+            # (~1-2 min): per-trip device walls are ~0.2 s (L4) / ~1.3 s
+            # (L5) after the fused/packed smoother kernels, so 10/4 trips
+            # per dispatch stay well under it while cutting the ~20
+            # per-dispatch tunnel round-trips (30-60 ms each) to 2-5.
+            # The split predictor (L5) keeps its own few-second passes.
             execute, mesh = tsx.build_df32_chunked(
                 cfg,
-                trips_per_chunk=1 if level >= 5 else 3,
+                trips_per_chunk=4 if level >= 5 else 10,
                 split_predictor=level >= 5,
             )
             t_setup = time.perf_counter() - t0

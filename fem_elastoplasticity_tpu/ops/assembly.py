@@ -498,11 +498,22 @@ def plastic_correction_apply(
     Same B^T (w*delta) B v contraction as `tangent_matvec` restricted to
     the slot set: gather v at the slots' element DOFs, strain, apply the
     tangent deviation, scatter B^T back.
+
+    This runs once per CG iteration, and XLA:TPU serializes gather/
+    scatter per *index* — so both ends move (x, y) node PAIRS (edofs are
+    interleaved 2*node+comp, `element_dofs`): half the indices of the
+    flat-DOF form for the same bytes.  Per-segment contribution order is
+    unchanged (k-major, slot-minor), so results are bit-identical.
     """
-    ue = v[edp]                                   # (2n_p, P)
+    n2p, P = edp.shape
+    en = edp[0::2] >> 1                           # (n_p, P) node ids
+    ue = v.reshape(-1, 2)[en]                     # (n_p, P, 2)
+    ue = ue.transpose(0, 2, 1).reshape(n2p, P)    # interleaved (2n_p, P)
     e3 = (Bp * ue[None, :, :]).sum(axis=1)        # (3, P)
     s3 = (wdelta * e3[None, :, :]).sum(axis=1)    # (3, P)
     fk = (Bp * s3[:, None, :]).sum(axis=0)        # (2n_p, P)
-    return jax.ops.segment_sum(
-        fk.reshape(-1), edp.reshape(-1), num_segments=n_dofs
+    fk2 = fk.reshape(n2p // 2, 2, P).transpose(0, 2, 1).reshape(-1, 2)
+    out2 = jax.ops.segment_sum(
+        fk2, en.reshape(-1), num_segments=n_dofs // 2
     )
+    return out2.reshape(-1)

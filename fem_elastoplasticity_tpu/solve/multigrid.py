@@ -372,8 +372,13 @@ def build_hierarchy_ell(
     return arrays, metas, perms, coarse
 
 
-def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
+def make_vcycle_ell(metas, coarse_solve, nu=2):
     """ELL V-cycle: returns pre(arrays, r) with `arrays` a jit argument.
+
+    nu: smoothing sweeps — an int (symmetric) or a (pre, post) tuple.
+    The first pre-sweep from z=0 is a free block-inverse application (no
+    matvec), so V(1,2) drops one full smoother sweep per level per cycle
+    relative to V(2,2) while keeping two real post-sweeps.
 
     Same cycle structure as `make_vcycle` but every operator application
     is an assembled-sparse Pallas matvec (`ops.spmv.sp_matvec` —
@@ -397,8 +402,10 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         # unfused sweep chain
         return "msf" in arr and isinstance(meta["op"], spmv.SlotMeta)
 
-    def smooth(arr, meta, z, r, r2, z_is_zero=False):
-        for k in range(nu):
+    nu_pre, nu_post = (nu, nu) if isinstance(nu, int) else nu
+
+    def smooth(arr, meta, z, r, r2, z_is_zero=False, sweeps=None):
+        for k in range(sweeps if sweeps is not None else nu_post):
             if z_is_zero and k == 0:
                 # first pre-smoothing sweep from z=0: res = r exactly, so
                 # the operator application is a wasted full matvec
@@ -429,7 +436,10 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
         if li == 0:
             return jnp.where(arr["free"], coarse_solve(r), 0.0)
         r2 = spmv.pad_rhs(r, meta["op"]) if _fused(arr, meta) else None
-        z = smooth(arr, meta, jnp.zeros_like(r), r, r2, z_is_zero=True)
+        z = smooth(
+            arr, meta, jnp.zeros_like(r), r, r2, z_is_zero=True,
+            sweeps=nu_pre,
+        )
         if r2 is not None:
             if "opk" in arr:
                 res = spmv.slot_sweep_pk(
@@ -452,16 +462,19 @@ def make_vcycle_ell(metas, coarse_solve, nu: int = 2):
     return lambda arrays, r: vcycle(arrays, top, r)
 
 
-def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
+def make_vcycle(levels: List[MGLevel], coarse_solve, nu=2):
     """V-cycle preconditioner application r -> z (approximate K^{-1} r).
 
     Args:
       levels: coarse-to-fine MGLevel list.
       coarse_solve: (r_free_masked (2*n_c,)) -> z at the coarsest level.
-      nu: pre/post smoothing sweeps (damped block-Jacobi).
+      nu: pre/post smoothing sweeps (damped block-Jacobi) — an int
+          (symmetric) or a (pre, post) tuple, as in `make_vcycle_ell`.
     """
+    nu_pre, nu_post = (nu, nu) if isinstance(nu, int) else nu
 
     def smooth(lev: MGLevel, z, r, z_is_zero=False):
+        sweeps = nu_pre if z_is_zero else nu_post
         # fori_loop shares one copy of the sweep body across nu sweeps —
         # XLA:TPU generated-code size scales with mesh size per op
         # instance, and the V-cycle instantiates smooth at two call sites
@@ -482,7 +495,7 @@ def make_vcycle(levels: List[MGLevel], coarse_solve, nu: int = 2):
             ).reshape(-1)
             z = jnp.where(lev.free_flat, dz, 0.0)
             lo = 1
-        return jax.lax.fori_loop(lo, nu, sweep, z)
+        return jax.lax.fori_loop(lo, sweeps, sweep, z)
 
     def vcycle(li: int, r):
         lev = levels[li]

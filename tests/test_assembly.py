@@ -168,3 +168,39 @@ def _dense_full(ke, geom):
     K = jnp.zeros((2 * geom.n_nodes, 2 * geom.n_nodes), ke.dtype)
     fd = geom.edofs_t
     return K.at[fd[:, None, :], fd[None, :, :]].add(ke)
+
+
+class TestPlasticCorrection:
+    def test_correction_matches_tangent_difference(self, setup):
+        """B^T (w*(d - d_el)) B v over the plastic slot set equals
+        tangent_matvec(d) - tangent_matvec(d_el) when the tangents differ
+        exactly on the slotted points (the CG operator identity the
+        assembled-elastic + low-rank path relies on, solve/newton.py)."""
+        mesh, geom, D = setup
+        rng = np.random.default_rng(7)
+        n_dofs = 2 * geom.n_nodes
+        v = jnp.asarray(rng.standard_normal(n_dofs))
+
+        # mark a scattered subset of real points plastic and perturb their
+        # tangent
+        ind_p = np.zeros(geom.n_int, bool)
+        ind_p[: geom.n_real : 7] = True
+        cap = int(ind_p.sum()) + 5
+        delta_np = np.zeros((3, 3, geom.n_int))
+        pert = rng.standard_normal((3, 3, ind_p.sum()))
+        pert = pert + pert.transpose(1, 0, 2)  # keep the operator symmetric
+        delta_np[:, :, ind_p] = pert
+        d_tan = D + jnp.asarray(delta_np)
+
+        idx, valid = asm.plastic_slots(jnp.asarray(ind_p), cap)
+        Bp, wdelta, edp = asm.plastic_correction_gather(
+            geom, d_tan - D, idx, valid
+        )
+        corr = asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, v)
+        ref_diff = asm.tangent_matvec(geom, d_tan, v) - asm.tangent_matvec(
+            geom, D, v
+        )
+        np.testing.assert_allclose(
+            np.asarray(corr), np.asarray(ref_diff),
+            atol=1e-9 * float(jnp.abs(ref_diff).max()),
+        )
