@@ -213,7 +213,7 @@ def build_hierarchy_ell(
     ref,
     omega: float = 0.7,
     fmt: str = "ell",
-    pack_bf16: bool = True,
+    pack_bf16="auto",
 ):
     """Host-side ELL multigrid build: red refinement + locality ordering.
 
@@ -315,10 +315,22 @@ def build_hierarchy_ell(
             entry.update(
                 spmv.build_sweep_aux(inv, free2.reshape(-1), opm)
             )
-            if pack_bf16:
-                # packed bf16-value operator stream for the smoother /
-                # masked-residual kernels (~2.7x less HBM traffic; the
-                # f32 `op` stays for CG's operator A and the criterion)
+            # packed bf16-value operator stream for the smoother /
+            # masked-residual kernels (the f32 `op` stays for CG's
+            # operator A and the criterion).  Measured (dp_scale sweep,
+            # 2026-08-19): bf16 smoothing costs ~14-23% MORE CG
+            # iterations, and the slot kernel is per-slot-ITERATION
+            # bound (8 dynamic VMEM row loads + a lane gather per slot),
+            # not HBM-stream bound — so all-level packing LOSES at
+            # levels 1-4 (L3 0.788 vs 0.725 s, L4 4.04 vs 3.91 s) and
+            # only the 910k-DOF fine level wins (L5 25.7 vs 26.2 s),
+            # where the stream no longer fits cache-adjacent VMEM
+            # staging.  "auto" therefore packs only levels with
+            # n2 >= 500k rows.
+            pack = (
+                opm.n2 >= 500_000 if pack_bf16 == "auto" else bool(pack_bf16)
+            )
+            if pack:
                 entry["opk"] = spmv.pack_slot_bf16(opa, opm)
         meta = dict(op=opm)
         if l == 0:
