@@ -52,9 +52,10 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
     results = []
     for level in levels:
         cfg = (
+            # the documented large-mesh preset at every level (inexact
+            # Newton cg_tol 1e-5 + Eisenstat-Walker forcing; trajectory
+            # measured identical to the 2e-7-floor runs at levels 1-2)
             TsxTunnelConfig.fast_scale(level)
-            if level >= 4
-            else TsxTunnelConfig.fast(solver="ell", refine_levels=level)
         )
         # levels >= 4 run the load loop in resume-chunked dispatches
         # (trajectory-identical, tested): the axon tunnel aborts single

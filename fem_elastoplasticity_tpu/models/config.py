@@ -132,9 +132,10 @@ class TsxTunnelConfig:
     # ops per row; 2.6x faster matvec at 910k DOFs)
     spmv_fmt: str = "slot"
     # df32 residual operator format: None = auto ("slot" below 100k
-    # integration points, "ell" above — the slot layout's global padding
-    # inflates to GBs at level >= 4 and large device_puts can kill the
-    # tunnel worker); "slot" | "ell" to force
+    # integration points, "rslot" above: the ragged chunking keeps the
+    # slot layout compact at scale — 174+161 MB and 0.50+0.43 ms for
+    # G+S at level 4 vs the windowed-ELL df's 0.93+0.95 ms, measured
+    # 2026-08-19); "slot" | "rslot" | "ell" to force
     residual_fmt: str = None
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # precision="df32": assembled host-built Pallas slot operators.
@@ -153,6 +154,10 @@ class TsxTunnelConfig:
     cg_tol: float = None
     cg_maxiter: int = 2000
     cg_structure: str = "while"  # "while" | "scan" (solve/cg.py docstring)
+    # Eisenstat-Walker forcing ceiling for iterative tangent solves
+    # (solve/newton.py cg_eta0 doc): iteration k's CG tolerance is
+    # clip(0.1 * crit_{k-1}, cg_tol, cg_eta0).  None = fixed cg_tol.
+    cg_eta0: float = None
     dtype: str = "float64"
     # Reproduce reference defect #3-bis (PARITY.md): the tsx reference never
     # applies the plastic-strain update, so Ep_old is re-zeroed each step
@@ -213,4 +218,9 @@ class TsxTunnelConfig:
         kw.setdefault("solver", "ell")
         kw.setdefault("cg_tol", 1e-5)
         kw.setdefault("cg_maxiter", 200)
+        # Eisenstat-Walker forcing: -35% CG iterations at an identical
+        # trajectory (17/37, monitor to 10 digits, measured level 1);
+        # scale-preset only — P4's p-MG tangent needs its 2e-7 floor
+        # from the first iteration and is configured separately
+        kw.setdefault("cg_eta0", 1e-2)
         return cls.fast(refine_levels=refine_levels, **kw)

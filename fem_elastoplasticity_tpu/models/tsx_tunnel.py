@@ -489,7 +489,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         from ..ops import spmv as _spmv_mod
 
         _res_fmt = cfg.residual_fmt or (
-            "slot" if gdf.hi.n_int < 100_000 else "ell"
+            "slot" if gdf.hi.n_int < 100_000 else "rslot"
         )
         _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(
             gdf, fmt=_res_fmt, max_overflow_frac=cfg.ell_overflow_frac
@@ -738,6 +738,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             cg_tol=cg_tol,
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
+            cg_eta0=cfg.cg_eta0,
             mg_preconditioner=mg_pre,
             elastic_op=(
                 # P2/P4 p-multigrid: the fine hierarchy operator is the

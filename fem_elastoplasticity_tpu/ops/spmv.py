@@ -321,7 +321,15 @@ def build_ell_elastic(
 
 
 def build_sparse(K_csr, dtype=np.float32, fmt: str = "ell"):
-    """CSR -> (arrays, meta) in the requested kernel format."""
+    """CSR -> (arrays, meta) in the requested kernel format.
+
+    "rslot" = ragged compacted-slot (chunk-compacted value stream; falls
+    back to the dense slot layout when chunking saves <15% — see
+    SlotMeta).  Consumers dispatch on the meta, so the formats mix
+    freely within one hierarchy.
+    """
+    if fmt == "rslot":
+        return build_slot(K_csr, dtype, ragged=True, u=_RAGGED_U)
     if fmt == "slot":
         return build_slot(K_csr, dtype)
     assert fmt == "ell", fmt
@@ -453,6 +461,17 @@ class SlotMeta(NamedTuple):
     n_sb: int    # superblocks (8 x 128 output rows each)
     s_pad: int   # padded slots per block
     vrows: int   # input-vector rows
+    # ragged chunking (0 = dense layout): the dense layout pads EVERY
+    # superblock to the global max slot count — under the multigrid
+    # hierarchy's parent ordering the fine tsx level carries s_pad=100
+    # for a mean slot count of ~31, so the static-unrolled kernels
+    # stream and compute ~3x padding.  The ragged layout stores each
+    # superblock's slots chunk-compacted (u slots per chunk) and runs a
+    # scalar-prefetch grid over chunks with output-block revisiting:
+    # work and HBM traffic scale with sum(ceil(nsl/u)) instead of
+    # n_sb * s_pad.
+    n_ch: int = 0  # total chunks (ragged); 0 = dense slot layout
+    u: int = 0     # slots per chunk (ragged)
 
 
 def _slot_pack(K_csr):
@@ -530,18 +549,91 @@ def _slot_tile(x, n_sb, s_pad):
     )
 
 
-def build_slot(K_csr, dtype=np.float32):
+def _staged_asarray(x: np.ndarray, limit_mb: int = 96):
+    """Host -> device in <= limit_mb pieces (concatenated on device).
+
+    Single large device_puts through the axon tunnel have killed the
+    worker outright (~0.4 GB measured; CLAUDE.md landmine #7) — stage
+    anything bigger than the limit along axis 0.
+    """
+    if x.nbytes <= limit_mb * 1_000_000 or x.ndim == 0:
+        return jnp.asarray(x)
+    n_pieces = -(-x.nbytes // (limit_mb * 1_000_000))
+    step = max(1, -(-x.shape[0] // n_pieces))
+    return jnp.concatenate(
+        [jnp.asarray(x[i:i + step]) for i in range(0, x.shape[0], step)],
+        axis=0,
+    )
+
+
+def _ragged_pack(meta, nsl, srow, cidx, vals_named, u):
+    """Dense slot tensors -> chunk-compacted ragged arrays (or None).
+
+    nsl: (n_sb,) per-superblock slot bound.  srow: (n_sb*8, s_pad).
+    cidx: (n_sb*8, s_pad, 128).  vals_named: {key: (n_sb*8, s_pad, 128)}
+    value tensors.  Returns (arrays, meta) with meta.n_ch/u set, or None
+    when chunking would save <15% of the dense slot volume (uniform
+    operators: the dense layout is already tight and avoids the
+    scalar-prefetch machinery).
+    """
+    n_sb, s_pad = meta.n_sb, meta.s_pad
+    u = int(min(u, s_pad))
+    nch_b = np.maximum((nsl.astype(np.int64) + u - 1) // u, 1)
+    n_ch = int(nch_b.sum())
+    if n_ch * u > 0.85 * n_sb * s_pad:
+        return None
+    n_cmax = (s_pad + u - 1) // u
+    sp_u = n_cmax * u
+    sb_of = np.repeat(np.arange(n_sb, dtype=np.int32), nch_b)
+    base = np.cumsum(nch_b) - nch_b
+    lc = np.arange(n_ch, dtype=np.int64) - np.repeat(base, nch_b)
+
+    srow_p = np.zeros((n_sb, 8, sp_u), np.int32)
+    srow_p[:, :, :s_pad] = srow.reshape(n_sb, 8, s_pad)
+    srow_r = srow_p.reshape(n_sb, 8, n_cmax, u).transpose(0, 2, 1, 3)[
+        sb_of, lc
+    ]
+
+    def tile_chunks(x, dt):
+        # numpy-only variant of _slot_tile + chunk gather (no device
+        # round-trip: these tensors reach GBs at refinement level 5)
+        xp = np.zeros((n_sb, sp_u, 8, 128), dt)
+        xp[:, :s_pad] = x.reshape(n_sb, 8, s_pad, 128).transpose(0, 2, 1, 3)
+        return _staged_asarray(
+            np.ascontiguousarray(
+                xp.reshape(n_sb, n_cmax, u, 8, 128)[sb_of, lc]
+            )
+        )
+
+    arrays = dict(
+        sbmap=jnp.asarray(sb_of),
+        srow=jnp.asarray(np.ascontiguousarray(srow_r)),
+        cidx=tile_chunks(cidx, np.int32),
+    )
+    for k, v in vals_named.items():
+        arrays[k] = tile_chunks(v, v.dtype)
+    return arrays, meta._replace(n_ch=n_ch, u=u)
+
+
+def build_slot(K_csr, dtype=np.float32, ragged=False, u=16):
     """CSR -> compacted-slot arrays for `slot_matvec`.
 
-    Returns (arrays, meta).  arrays:
+    Returns (arrays, meta).  Dense layout (ragged=False, or ragged
+    chunking would save <15%):
       nsl  (n_sb,)              i32  slot bound per superblock (SMEM)
       srow (n_sb, 8, s_pad)     i32  source vector row per (block, slot)
       cidx (n_sb, s_pad, 8,128) i32  lane index within the source row
       vals (n_sb, s_pad, 8,128) f32  matrix values (0 on padding)
+    Ragged layout (meta.n_ch > 0; see SlotMeta): sbmap (n_ch,) i32 plus
+    srow (n_ch, 8, u) / cidx / vals (n_ch, u, 8, 128) chunk-compacted.
     """
     meta, nsl, srow, cidx, (blk2, s, lane2), perm = _slot_pack(K_csr)
     vals = np.zeros((meta.n_sb * 8, meta.s_pad, 128), dtype)
     vals[blk2, s, lane2] = K_csr.data[perm].astype(dtype)
+    if ragged:
+        rg = _ragged_pack(meta, nsl, srow, cidx, dict(vals=vals), u)
+        if rg is not None:
+            return rg
     arrays = dict(
         nsl=jnp.asarray(nsl),
         srow=jnp.asarray(srow.reshape(meta.n_sb, 8, meta.s_pad)),
@@ -551,12 +643,13 @@ def build_slot(K_csr, dtype=np.float32):
     return arrays, meta
 
 
-def build_slot_df(K_csr):
+def build_slot_df(K_csr, ragged=False, u=16):
     """CSR (f64 values) -> slot arrays for `slot_matvec_df`.
 
     Like `build_slot` but the f64 values are split exactly into two-f32
     (hi, lo) pairs, for the double-float kernel that preserves ~1e-14
-    relative accuracy (the Newton residual path).
+    relative accuracy (the Newton residual path).  ragged: see
+    `build_slot` / SlotMeta.
     """
     meta, nsl, srow, cidx, (blk2, s, lane2), perm = _slot_pack(K_csr)
     d64 = K_csr.data[perm].astype(np.float64)
@@ -566,6 +659,12 @@ def build_slot_df(K_csr):
     vl = np.zeros_like(vh)
     vh[blk2, s, lane2] = d_hi
     vl[blk2, s, lane2] = d_lo
+    if ragged:
+        rg = _ragged_pack(
+            meta, nsl, srow, cidx, dict(vals_hi=vh, vals_lo=vl), u
+        )
+        if rg is not None:
+            return rg
     arrays = dict(
         nsl=jnp.asarray(nsl),
         srow=jnp.asarray(srow.reshape(meta.n_sb, 8, meta.s_pad)),
@@ -824,9 +923,11 @@ def build_residual_slot_df(
     reshape.  gdf: an `ops.assembly_df.GeometryDF` (padding slots have
     zero B/w and are simply absent).  Element ordering should be
     node-locality-sorted for small slot counts (models/tsx_tunnel.py).
-    fmt: "slot" (compacted-slot; fastest at small/mid mesh sizes) or
-    "ell" (windowed-ELL df; ~10x smaller arrays — large levels, where
-    the slot layout's global padding inflates past HBM/tunnel comfort).
+    fmt: "slot" (compacted-slot; fastest at small/mid mesh sizes),
+    "rslot" (ragged slot: chunk-compacted stream — the dense slot
+    layout's global padding AND the outlier-block inflation both
+    disappear, so it stays compact at large levels too) or "ell"
+    (windowed-ELL df; the pre-rslot large-level answer).
     Returns (G_arrays, G_meta, S_arrays, S_meta).
     """
     import scipy.sparse as sp
@@ -880,11 +981,13 @@ def build_residual_slot_df(
         (vals * w64[q_ix], (cols_u, rows_e)), shape=(n2, 3 * n_int)
     ).tocsr()
     S.sum_duplicates()
-    Ga, Gm = build_slot_df(G)
-    Sa, Sm = build_slot_df(S)
+    ragged = fmt == "rslot"
+    Ga, Gm = build_slot_df(G, ragged=ragged)
+    Sa, Sm = build_slot_df(S, ragged=ragged)
     return Ga, Gm, Sa, Sm
 
 
+_RAGGED_U = 16      # ragged-slot chunk size (build_sparse fmt="rslot")
 _UNROLL_FULL = 128  # fully unroll the slot loop up to this s_pad
 _UNROLL_CHUNK = 32  # above that, unroll in chunks of this many slots
 # (chunk granularity measured on the L4 elastic slot operator: 32 ->
@@ -953,6 +1056,93 @@ def _slot_kernel(meta: SlotMeta, unroll: bool = True):
         )
 
     return kern
+
+
+def _rslot_first(sb_ref):
+    """True on the first chunk of each output superblock."""
+    import jax.experimental.pallas as pl
+
+    c = pl.program_id(0)
+    prev = sb_ref[jnp.maximum(c - 1, 0)]
+    return jnp.logical_or(c == 0, sb_ref[c] != prev)
+
+
+def _rslot_last(sb_ref):
+    """True on the last chunk of each output superblock."""
+    import jax.experimental.pallas as pl
+
+    c = pl.program_id(0)
+    n = pl.num_programs(0)
+    nxt = sb_ref[jnp.minimum(c + 1, n - 1)]
+    return jnp.logical_or(c == n - 1, sb_ref[c] != nxt)
+
+
+def _rslot_chunk(u, srow_ref, cidx_ref, vals_ref, v_ref):
+    """Partial K v of one u-slot chunk -> (8, 128) accumulator."""
+    import jax.experimental.pallas as pl
+
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for s in range(u):
+        tile = jnp.concatenate(
+            [v_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+            axis=0,
+        )
+        gat = jnp.take_along_axis(tile, cidx_ref[0, s], axis=1)
+        acc = acc + vals_ref[0, s] * gat
+    return acc
+
+
+def _rslot_kernel(meta: SlotMeta):
+    """Ragged slot matvec: scalar-prefetch grid over chunks, the output
+    block revisited across a superblock's consecutive chunks (accumulated
+    in VMEM, written back once when the block index advances)."""
+    import jax.experimental.pallas as pl
+
+    def kern(sb_ref, srow_ref, cidx_ref, vals_ref, v_ref, o_ref):
+        acc = _rslot_chunk(meta.u, srow_ref, cidx_ref, vals_ref, v_ref)
+        first = _rslot_first(sb_ref)
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] = o_ref[...] + acc
+
+    return kern
+
+
+def _rslot_grid_spec(meta: SlotMeta, vspec, extra_blk=0, n_out=1):
+    """PrefetchScalarGridSpec shared by the ragged kernels.
+
+    Input order: sbmap (prefetch) | srow | cidx | vals... | v | extra
+    per-block inputs (each an (n_sb*8, 128) tensor blocked by sbmap).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = lambda c, sb: (c, 0, 0, 0)
+    blk = pl.BlockSpec((8, 128), lambda c, sb: (sb[c], 0))
+    n_vals = 2 if n_out == 2 else 1
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(meta.n_ch,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, meta.u), lambda c, sb: (c, 0, 0),
+                memory_space=_smem(),
+            ),
+            pl.BlockSpec((1, meta.u, 8, 128), chunk),
+        ]
+        + [pl.BlockSpec((1, meta.u, 8, 128), chunk)] * n_vals
+        + [vspec] * (2 if n_out == 2 else 1)
+        + [blk] * extra_blk,
+        out_specs=(
+            [blk] * n_out if n_out > 1
+            else pl.BlockSpec((8, 128), lambda c, sb: (sb[c], 0))
+        ),
+    )
 
 
 def _two_sum(a, b):
@@ -1030,6 +1220,55 @@ def _slot_kernel_df(meta: SlotMeta, unroll: bool = True):
     return kern
 
 
+def _rslot_kernel_df(meta: SlotMeta):
+    """Ragged double-float slot matvec (see `_slot_kernel_df` for the
+    error-free transforms; chunk partials are df-combined across the
+    revisited output blocks — same compensated-accumulation class as the
+    dense kernel's running renormalization)."""
+    import jax.experimental.pallas as pl
+
+    def kern(
+        sb_ref, srow_ref, cidx_ref, vh_ref, vl_ref, xh_ref, xl_ref,
+        oh_ref, ol_ref,
+    ):
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc_hi, acc_lo = zero, zero
+        for s in range(meta.u):
+            tile_h = jnp.concatenate(
+                [xh_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+                axis=0,
+            )
+            tile_l = jnp.concatenate(
+                [xl_ref[pl.ds(srow_ref[0, p, s], 1), :] for p in range(8)],
+                axis=0,
+            )
+            ci = cidx_ref[0, s]
+            gh = jnp.take_along_axis(tile_h, ci, axis=1)
+            gl = jnp.take_along_axis(tile_l, ci, axis=1)
+            p, e = _two_prod(vh_ref[0, s], gh)
+            e = e + (vh_ref[0, s] * gl + vl_ref[0, s] * gh)
+            s_hi, s_err = _two_sum(acc_hi, p)
+            t = acc_lo + e + s_err
+            acc_hi = s_hi + t
+            acc_lo = t - (acc_hi - s_hi)
+        first = _rslot_first(sb_ref)
+
+        @pl.when(first)
+        def _():
+            oh_ref[...] = acc_hi
+            ol_ref[...] = acc_lo
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            s_hi, s_err = _two_sum(oh_ref[...], acc_hi)
+            t = ol_ref[...] + acc_lo + s_err
+            hi = s_hi + t
+            oh_ref[...] = hi
+            ol_ref[...] = t - (hi - s_hi)
+
+    return kern
+
+
 def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
     """A v in double-float via the compacted-slot Pallas kernel.
 
@@ -1048,6 +1287,20 @@ def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
         )
 
     interpret = jax.default_backend() != "tpu"
+    if meta.n_ch:
+        vec = pl.BlockSpec((meta.vrows, 128), lambda c, sb: (0, 0))
+        out_sds = jax.ShapeDtypeStruct((meta.n_sb * 8, 128), jnp.float32)
+        with jax.enable_x64(False):
+            oh, ol = pl.pallas_call(
+                _rslot_kernel_df(meta),
+                grid_spec=_rslot_grid_spec(meta, vec, n_out=2),
+                out_shape=[out_sds, out_sds],
+                interpret=interpret,
+            )(
+                arrays["sbmap"], arrays["srow"], arrays["cidx"],
+                arrays["vals_hi"], arrays["vals_lo"], pad(v_hi), pad(v_lo),
+            )
+        return oh.reshape(-1)[: meta.n2], ol.reshape(-1)[: meta.n2]
     tile = pl.BlockSpec((1, meta.s_pad, 8, 128), lambda b: (b, 0, 0, 0))
     vec = pl.BlockSpec((meta.vrows, 128), lambda b: (0, 0))
     with jax.enable_x64(False):
@@ -1089,6 +1342,18 @@ def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
     ).reshape(meta.vrows, 128)
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
+        if meta.n_ch:
+            vec = pl.BlockSpec((meta.vrows, 128), lambda c, sb: (0, 0))
+            out = pl.pallas_call(
+                _rslot_kernel(meta),
+                grid_spec=_rslot_grid_spec(meta, vec),
+                out_shape=jax.ShapeDtypeStruct(
+                    (meta.n_sb * 8, 128), jnp.float32
+                ),
+                interpret=interpret,
+            )(arrays["sbmap"], arrays["srow"], arrays["cidx"],
+              arrays["vals"], v2)
+            return out.reshape(-1)[: meta.n2]
         out = pl.pallas_call(
             _slot_kernel(meta, unroll=not interpret),
             grid=(meta.n_sb,),
@@ -1146,6 +1411,48 @@ def _slot_sweep_kernel(meta: SlotMeta, update: bool, unroll: bool = True):
         o_ref[...] = zblk + (
             msf_ref[...] * res + mpr_ref[...] * res_sw
         ) * mask_ref[...]
+
+    return kern
+
+
+def _rslot_sweep_kernel(meta: SlotMeta, update: bool):
+    """Ragged fused block-Jacobi sweep (see `slot_sweep`): the matvec
+    accumulates across a superblock's chunks in the revisited output
+    block; the residual mask / block-inverse update runs once, on the
+    block's last chunk."""
+    import jax.experimental.pallas as pl
+
+    def kern(
+        sb_ref, srow_ref, cidx_ref, vals_ref, v_ref, r_ref, mask_ref,
+        msf_ref, mpr_ref, o_ref,
+    ):
+        acc = _rslot_chunk(meta.u, srow_ref, cidx_ref, vals_ref, v_ref)
+        first = _rslot_first(sb_ref)
+        last = _rslot_last(sb_ref)
+        # program_id must be read at kernel top level: inside a pl.when
+        # branch the interpret-mode evaluator does not rewrite it
+        sb = sb_ref[pl.program_id(0)]
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] = o_ref[...] + acc
+
+        @pl.when(last)
+        def _():
+            res = (r_ref[...] - o_ref[...]) * mask_ref[...]
+            if not update:
+                o_ref[...] = res
+                return
+            sw = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) ^ 1
+            res_sw = jnp.take_along_axis(res, sw, axis=1)
+            zblk = v_ref[pl.ds(sb * 8, 8), :]
+            o_ref[...] = zblk + (
+                msf_ref[...] * res + mpr_ref[...] * res_sw
+            ) * mask_ref[...]
 
     return kern
 
@@ -1210,6 +1517,22 @@ def slot_sweep(
         jnp.asarray(z, jnp.float32)
     ).reshape(rows, 128)
     interpret = jax.default_backend() != "tpu"
+    if meta.n_ch:
+        vec = pl.BlockSpec((rows, 128), lambda c, sb: (0, 0))
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                _rslot_sweep_kernel(meta, update),
+                grid_spec=_rslot_grid_spec(meta, vec, extra_blk=4),
+                out_shape=jax.ShapeDtypeStruct(
+                    (meta.n_sb * 8, 128), jnp.float32
+                ),
+                interpret=interpret,
+            )(
+                arrays["sbmap"], arrays["srow"], arrays["cidx"],
+                arrays["vals"], v2, r2, aux["mask"], aux["msf"],
+                aux["mpr"],
+            )
+        return out.reshape(-1)[: meta.n2]
     blk = pl.BlockSpec((8, 128), lambda b: (b, 0))
     with jax.enable_x64(False):
         out = pl.pallas_call(

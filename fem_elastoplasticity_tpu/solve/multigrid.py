@@ -214,6 +214,7 @@ def build_hierarchy_ell(
     omega: float = 0.7,
     fmt: str = "ell",
     pack_bf16="auto",
+    order_mode: str = "fine_rcm",
 ):
     """Host-side ELL multigrid build: red refinement + locality ordering.
 
@@ -223,10 +224,19 @@ def build_hierarchy_ell(
     form so the V-cycle never executes an XLA gather/scatter (the ~8
     ns/element serialization documented in ops/spmv.py).
 
-    Node ordering: RCM on the coarsest mesh; each finer level is ordered
-    by its parents' coarse positions (stable argsort), which keeps BOTH
-    the operator bandwidth and the transfer windows small without
-    running RCM on million-node meshes.
+    Node ordering (`order_mode`):
+      * "fine_rcm" (default): RCM on the FINEST mesh; each coarser
+        level is ordered by its nodes' positions in the next-finer
+        ordering (coarse nodes are a prefix of the finer level's node
+        set under red refinement).  The fine level carries ~85-95% of
+        the V-cycle cost, and RCM packs its slot operator tightly
+        (measured s_pad 48 vs 100 under parent ordering at the 228k-DOF
+        tsx level — the compacted-slot kernels stream s_pad per
+        superblock, so layout skew is paid on every sweep).  RCM via
+        scipy is O(nnz) — ~seconds at 910k nodes.
+      * "parent": RCM on the coarsest mesh, finer levels ordered by
+        their parents' coarse positions (the pre-round-2-late scheme;
+        kept for A/B comparisons).
 
     Returns (arrays, metas, perms, coarse):
       arrays[l]: dict(op=..., inv=(n_n,2,2) f32, free=(2n_n,) bool,
@@ -272,13 +282,36 @@ def build_hierarchy_ell(
         chain.append((coords_f, children.astype(np.int64), owners))
         coords, elems = coords_f, children
 
+    fine_orders = None
+    if order_mode == "fine_rcm":
+        # fine RCM, then induce coarser orderings by restriction: level
+        # l's nodes are ids 0..n_l-1 inside level l+1, so ordering them
+        # by their position in level l+1's ordering inherits the fine
+        # locality all the way down
+        fine_orders = [None] * len(chain)
+        c_top, e_top, _ = chain[-1]
+        noo_next = None
+        for l in reversed(range(len(chain))):
+            n_l = chain[l][0].shape[0]
+            if l == len(chain) - 1:
+                order_l = spmv.rcm_node_order(e_top, n_l)
+            else:
+                order_l = np.argsort(noo_next[:n_l], kind="stable")
+            noo_next = np.empty(n_l, np.int64)
+            noo_next[order_l] = np.arange(n_l)
+            fine_orders[l] = order_l
+    else:
+        assert order_mode == "parent", order_mode
+
     arrays, metas, perms = [], [], []
     prev_new_of_old = None
     prev_n = None
     coarse = {}
     for l, (c, e, par) in enumerate(chain):
         n_n = c.shape[0]
-        if l == 0:
+        if fine_orders is not None:
+            order = fine_orders[l]
+        elif l == 0:
             order = spmv.rcm_node_order(e, n_n)
         else:
             # order by parent position in the coarse level's ordering
@@ -309,7 +342,7 @@ def build_hierarchy_ell(
             inv=jnp.asarray(inv, jnp.float32),
             free=jnp.asarray(free2.reshape(-1)),
         )
-        if fmt == "slot":
+        if fmt in ("slot", "rslot"):
             # fused-sweep constants (ops/spmv.py slot_sweep): lane-aligned
             # block-inverse coefficients + f32 free mask in kernel blocks
             entry.update(
@@ -327,9 +360,11 @@ def build_hierarchy_ell(
             # where the stream no longer fits cache-adjacent VMEM
             # staging.  "auto" therefore packs only levels with
             # n2 >= 500k rows.
+            # bf16 packing needs the dense slot layout (ragged metas
+            # carry n_ch > 0 — the pk kernels are dense-grid only)
             pack = (
                 opm.n2 >= 500_000 if pack_bf16 == "auto" else bool(pack_bf16)
-            )
+            ) and not opm.n_ch
             if pack:
                 entry["opk"] = spmv.pack_slot_bf16(opa, opm)
         meta = dict(op=opm)

@@ -135,6 +135,8 @@ def build_load_stepper(
     cg_tol: float = 1e-14,
     cg_maxiter: int = 2000,
     cg_structure: str = "while",
+    cg_eta0: Optional[float] = None,
+    cg_eta_safety: float = 0.1,
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
@@ -232,6 +234,17 @@ def build_load_stepper(
                   scalars overriding the literal-derived material
                   constants (vmapped material ensembles;
                   `materials_df.consts_host`).  eta/c are ignored then.
+      cg_eta0:    Eisenstat-Walker-style forcing for the iterative
+                  tangent solves: iteration k's CG tolerance is
+                  clip(cg_eta_safety * crit_{k-1}, cg_tol, cg_eta0) —
+                  the first solve of each Newton sequence runs at the
+                  loose cg_eta0 (its increment is dominated by the new
+                  load step and gets corrected anyway), later solves
+                  tighten with the measured criterion down to the
+                  cg_tol floor.  Exactness is untouched: the criterion
+                  is evaluated on the dU actually applied, so a loose
+                  solve can slow convergence but never fake it.
+                  None (default) = fixed cg_tol (prior behavior).
       f_ext_dir:  optional (2*n_n,) external load direction ramped with
                   the load factor: the Newton residual becomes
                   F_int(u) - zeta * f_ext_dir (e.g. a tunnel support
@@ -368,13 +381,15 @@ def build_load_stepper(
         q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
         return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
 
-    def newton_solve(d, f_int, any_plastic, ind_p=None):
+    def newton_solve(d, f_int, any_plastic, ind_p=None, eta=None):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
         d: (3, 3, n_int) consistent tangent; ind_p: (n_int,) plastic mask
-        (elastic_op mode).  Returns (dU, ok) — ok is False when an
-        iterative solve hit its cap without converging (treated as
-        divergence by the caller, like the NaN guard)."""
+        (elastic_op mode); eta: traced CG tolerance override (forcing
+        term, cg_eta0 doc) — None = the static cg_tol.  Returns (dU, ok)
+        — ok is False when an iterative solve hit its cap without
+        converging (treated as divergence by the caller, like the NaN
+        guard)."""
         if solver == "dense":
             rhs = -f_int[free_idx]
 
@@ -542,7 +557,7 @@ def build_load_stepper(
             -f_int,
             free_mask,
             precond=pre,
-            tol=cg_tol,
+            tol=cg_tol if eta is None else eta,
             maxiter=cg_maxiter,
             structure=cg_structure,
         )
@@ -572,13 +587,26 @@ def build_load_stepper(
             return (~fail) & (crit >= settings.newton_tol) & (it < settings.maxit)
 
         def body(carry):
-            U_it, dU_prev, _, it, ncg, _ = carry
+            U_it, dU_prev, crit_prev, it, ncg, _ = carry
             s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
             f_int = residual_force(s_rm, zeta)
             any_p = ind_p.any()
             if axis_name is not None:
                 any_p = jax.lax.psum(any_p.astype(jnp.int32), axis_name) > 0
-            dU, ok, cg_its = newton_solve(ds_rm, f_int, any_p, ind_p=ind_p)
+            eta = None
+            if cg_eta0 is not None and solver != "dense":
+                # Eisenstat-Walker forcing (cg_eta0 doc): inf criterion
+                # (first iteration) clips to the loose cg_eta0
+                eta = jnp.clip(
+                    jnp.nan_to_num(
+                        crit_prev * cg_eta_safety, posinf=cg_eta0
+                    ),
+                    cg_tol,
+                    cg_eta0,
+                )
+            dU, ok, cg_its = newton_solve(
+                ds_rm, f_int, any_p, ind_p=ind_p, eta=eta
+            )
             U_new = (
                 df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
                 if df_mode

@@ -631,3 +631,105 @@ def test_packed_hierarchy_vcycle_preconditions_cg():
         sols[packed] = np.asarray(res.x)
     scale = np.abs(sols[False]).max()
     assert np.abs(sols[True] - sols[False]).max() <= 1e-4 * scale
+
+
+def _skewed_spd(rng, n_n=4096, n_tail=4):
+    """SPD CSR whose slot layout is genuinely skewed: a banded bulk plus
+    a few near-dense rows confined to ONE superblock, so that block's
+    slot count inflates s_pad far past the other superblocks' and the
+    ragged chunking activates."""
+    import scipy.sparse as sp
+
+    n = 2 * n_n
+    bulk_band = sp.diags(
+        [np.ones(n - k) for k in (1, 2, 3)], [1, 2, 3], shape=(n, n)
+    )
+    tail = sp.random(n_tail, n, density=0.3, random_state=12).tocoo()
+    T = sp.coo_matrix((tail.data, (tail.row, tail.col)), shape=(n, n))
+    K = (bulk_band + bulk_band.T + T + T.T + 20 * sp.eye(n)).tocsr()
+    free = rng.random(n) > 0.15
+    return spmv.apply_bc_csr(K, free), free
+
+
+def test_ragged_slot_matches_dense():
+    """fmt="rslot" (chunk-compacted stream, scalar-prefetch grid with
+    output-block revisiting) == the dense slot kernel, on an operator
+    skewed enough that chunking actually activates (meta.n_ch > 0)."""
+    rng = np.random.default_rng(5)
+    K, free = _skewed_spd(rng)
+    n_n = K.shape[0] // 2
+    ad, md = spmv.build_slot(K)
+    ar, mr = spmv.build_sparse(K, fmt="rslot")
+    assert mr.n_ch > 0, "test operator must activate ragged chunking"
+    assert mr.n_ch * mr.u < md.n_sb * md.s_pad  # it actually compacts
+
+    v = jnp.asarray(rng.standard_normal(md.n_in), jnp.float32)
+    yd = spmv.slot_matvec(ad, md, v)
+    yr = spmv.sp_matvec(ar, mr, v)
+    # same entries, chunk partials reorder the summation -> f32 roundoff
+    np.testing.assert_allclose(
+        np.asarray(yr), np.asarray(yd),
+        atol=1e-5 * float(jnp.abs(yd).max()),
+    )
+
+    # fused sweep (update=True and the masked residual)
+    blocks = spmv.diag_blocks_csr(K, n_n)
+    a_, b_, c_, d_ = (
+        blocks[:, 0, 0], blocks[:, 0, 1], blocks[:, 1, 0], blocks[:, 1, 1]
+    )
+    det = a_ * d_ - b_ * c_
+    inv = (
+        np.stack([np.stack([d_, -b_], -1), np.stack([-c_, a_], -1)], -2)
+        / det[:, None, None]
+    ) * 0.7
+    auxd = spmv.build_sweep_aux(inv, free, md)
+    auxr = spmv.build_sweep_aux(inv, free, mr)
+    z = jnp.asarray(rng.standard_normal(md.n2), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(md.n2), jnp.float32)
+    for update in (True, False):
+        sd = spmv.slot_sweep(ad, md, auxd, z, spmv.pad_rhs(r, md), update=update)
+        sr = spmv.slot_sweep(ar, mr, auxr, z, spmv.pad_rhs(r, mr), update=update)
+        np.testing.assert_allclose(
+            np.asarray(sr), np.asarray(sd),
+            atol=1e-5 * float(jnp.abs(sd).max()),
+        )
+
+
+def test_ragged_slot_df_f64_grade():
+    """Ragged double-float slot matvec keeps ~1e-14 relative accuracy:
+    chunk partials are combined with the same compensated two-sum chain
+    as the dense kernel's running renormalization."""
+    rng = np.random.default_rng(6)
+    K, _ = _skewed_spd(rng)
+    K64 = K.astype(np.float64)
+    K64.data *= 1.0 + 1e-9 * rng.standard_normal(K64.nnz)  # exercise lo bits
+    ar, mr = spmv.build_slot_df(K64, ragged=True)
+    assert mr.n_ch > 0
+    v_hi = jnp.asarray(rng.standard_normal(mr.n_in), jnp.float32)
+    v_lo = jnp.asarray(1e-8 * rng.standard_normal(mr.n_in), jnp.float32)
+    with jax.enable_x64(True):
+        ref = K64 @ (
+            np.asarray(v_hi, np.float64) + np.asarray(v_lo, np.float64)
+        )
+    oh, ol = spmv.slot_matvec_df(ar, mr, v_hi, v_lo)
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 5e-13, rel
+
+
+def test_ragged_falls_back_dense_when_uniform():
+    """Uniform operators skip ragged chunking (saves <15%): build_sparse
+    fmt="rslot" then returns the dense layout (meta.n_ch == 0) and the
+    dense kernels serve it."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    n = 512
+    K = (sp.eye(n) * 5 + sp.diags(np.ones(n - 1), 1) + sp.diags(np.ones(n - 1), -1)).tocsr()
+    a, m = spmv.build_sparse(K, fmt="rslot")
+    assert m.n_ch == 0
+    v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmv.sp_matvec(a, m, v)), K @ np.asarray(v, np.float64),
+        rtol=1e-5,
+    )

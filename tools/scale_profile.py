@@ -132,18 +132,14 @@ def main():
     results["vcycle"] = _wall(fori_probe(vc_body_nu(2)), args, np, reps)
     results["vcycle_nu1"] = _wall(fori_probe(vc_body_nu(1)), args, np, reps)
 
-    # 2b. V-cycle constituents at the FINE level only: one smoother sweep
-    # (matvec + mask + 2x2 block einsum + mask) vs its bare matvec — the
-    # delta is the XLA elementwise/einsum overhead a fused Pallas
-    # smoother would remove
+    # 2b. one FUSED smoother sweep at the fine level (the production
+    # kernel: ops/spmv.py slot_sweep — matvec + residual mask + 2x2
+    # block inverse + update in one Pallas call, incl. pad_rhs glue)
     def sweep_body(a, x):
-        arr, meta = a["mg_ell"][top], metas[top]
-        res = x - spmv.sp_matvec(arr["op"], meta["op"], x)
-        res = jnp.where(arr["free"], res, 0.0)
-        dz = jnp.einsum(
-            "nij,nj->ni", arr["inv"], res.reshape(-1, 2)
-        ).reshape(-1)
-        return norm(x + jnp.where(arr["free"], dz, 0.0))
+        arr, meta = a["mg_ell"][top], metas[top]["op"]
+        r2 = spmv.pad_rhs(x, meta)
+        z = spmv.slot_sweep(arr["op"], meta, arr, x, r2)
+        return norm(x * (1.0 + 1e-20 * z[0]) + 1e-20 * z)
 
     results["smooth_sweep_fine"] = _wall(fori_probe(sweep_body), args, np, reps)
 
