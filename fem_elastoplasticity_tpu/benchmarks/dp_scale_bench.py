@@ -15,16 +15,17 @@ weak #3).
 
 Run on TPU:  python -m fem_elastoplasticity_tpu.benchmarks.dp_scale_bench [levels...]
 
-Measured (2026-08-19, v5e single chip, warm walls, median of 3,
-solver="ell" + assembled df32 slot residual + static slot/smoother
-unroll; n_cg = cumulative inner PCG iterations):
+Measured (2026-08-19 late, v5e single chip, warm walls, median of 3,
+solver="ell" + fused slot-sweep V-cycle + fine-RCM hierarchy ordering +
+ragged-slot df32 residual operators + Eisenstat-Walker CG forcing;
+n_cg = cumulative inner PCG iterations):
 
   level  elems   DOFs    wall      steps/its/cg  plastic  u40
-  1      3.5k    3.7k    0.097 s   17/37/—       20       -2.166787e-3
-  2      14.2k   14.5k   0.243 s   17/42/402     82       -2.237798e-3
-  3      56.8k   57.3k   1.055 s   17/48/~770    379      -2.258740e-3
-  4      227k    228k    4.98 s    17/52/777     1477     -2.264312e-3
-  5      908k    910k    37.5 s    17/57/998     5955     -2.265345e-3
+  1      3.5k    3.7k    0.062 s   17/37/222     20       -2.166787e-3
+  2      14.2k   14.5k   0.146 s   17/42/304     82       -2.237798e-3
+  3      56.8k   57.3k   0.522 s   17/48/447     379      -2.258740e-3
+  4      227k    228k    2.72 s    17/52/605     1477     -2.264312e-3
+  5      908k    910k    16.0 s    17/58/902     5955     -2.265345e-3
 
 (u40 converges toward the P4 high-order value -2.267e-3 under
 refinement — the plastic zone is progressively better resolved.)
