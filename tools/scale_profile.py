@@ -328,6 +328,48 @@ def main():
     results["cg_solve_total"] = best
     cg_iters = int(iters)
 
+    # 9. CG per-iteration GLUE (dots/axpys/projections/bookkeeping) alone:
+    # trivial fused operator + identity preconditioner, tol=0 so no trip
+    # converges, structure="scan" so all 32 trips run the full body.
+    # Per-iteration glue = value / 32.  (Attribution probe for the
+    # modeled-vs-measured wall gap — BENCH_NOTES 2026-08-20.)
+    def cg_glue_body(a, x):
+        res = solve_cg(
+            lambda v: v * 1.000001, x, a["free_mask"],
+            precond=None, tol=0.0, maxiter=32, structure="scan",
+        )
+        return norm(res.x)
+
+    results["cg_glue_32it"] = _wall(
+        fori_probe(cg_glue_body), args, np, (3, 10)
+    )
+
+    # 10. the REAL CG body at a fixed 32 trips (operator + V-cycle +
+    # correction + glue, no convergence exit): per-iteration in-situ cost
+    # = value / 32; compare against op_matvec + vcycle + corr_apply +
+    # cg_glue_32it/32 to see whether components compose as modeled.
+    def cg_real32_body(a, x):
+        idx0 = a["free_idx0"]
+        coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
+            a["inv0"] @ r[idx0]
+        )
+        vc = mgm.make_vcycle_ell(metas, coarse, nu=2)
+        pre = lambda r: vc(a["mg_ell"], r)
+        A_op = lambda v: spmv.sp_matvec(
+            a["mg_ell"][top]["op"], metas[top]["op"], v
+        ) + asm.plastic_correction_apply(
+            a["Bp"], a["wd"], a["edp"], n_dofs, v
+        )
+        res = solve_cg(
+            A_op, x, a["free_mask"], precond=pre, tol=0.0,
+            maxiter=32, structure="scan",
+        )
+        return norm(res.x)
+
+    results["cg_real_32it"] = _wall(
+        fori_probe(cg_real32_body), args, np, (2, 6)
+    )
+
     print(f"\nlevel {level}: {mesh.n_elems} elements, {n_dofs} DOFs, "
           f"n_int {n_int}, plastic_cap {plastic_cap}")
     for k, v in results.items():
