@@ -329,8 +329,10 @@ def main():
     cg_iters = int(iters)
 
     # 9. CG per-iteration GLUE (dots/axpys/projections/bookkeeping) alone:
-    # trivial fused operator + identity preconditioner, tol=0 so no trip
-    # converges, structure="scan" so all 32 trips run the full body.
+    # trivial fused operator + identity preconditioner, structure="scan".
+    # The scan body does full work on every one of the 32 trips regardless
+    # of the `done` flag (converged trips just freeze the carry), so the
+    # measurement is 32 full bodies even if the residual hits 0 early.
     # Per-iteration glue = value / 32.  (Attribution probe for the
     # modeled-vs-measured wall gap — BENCH_NOTES 2026-08-20.)
     def cg_glue_body(a, x):
