@@ -39,7 +39,11 @@ import sys
 import time
 
 
-def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
+def run_dp_scale(
+    levels=(1, 2, 3), reps: int = 3, verbose: bool = True, **cfg_kw
+):
+    """cfg_kw: extra TsxTunnelConfig.fast_scale overrides (A/B runs,
+    e.g. corr_mode="scatter")."""
     import numpy as np
 
     from ..models import tsx_tunnel as tsx
@@ -56,7 +60,7 @@ def run_dp_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
             # the documented large-mesh preset at every level (inexact
             # Newton cg_tol 1e-5 + Eisenstat-Walker forcing; trajectory
             # measured identical to the 2e-7-floor runs at levels 1-2)
-            TsxTunnelConfig.fast_scale(level)
+            TsxTunnelConfig.fast_scale(level, **cfg_kw)
         )
         # levels >= 4 run the load loop in resume-chunked dispatches
         # (trajectory-identical, tested): the axon tunnel aborts single

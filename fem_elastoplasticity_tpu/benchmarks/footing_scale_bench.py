@@ -20,34 +20,39 @@ import sys
 import time
 
 
-def run_footing_scale(levels=(1, 2, 3), reps: int = 3, verbose: bool = True):
+def run_footing_scale(
+    levels=(1, 2, 3), reps: int = 3, verbose: bool = True, **cfg_kw
+):
+    """cfg_kw: extra FootingConfig.fast overrides (A/B runs, e.g.
+    assembled_cg=True for the full-tangent slot-refresh path)."""
     import numpy as np
 
     from ..models.config import FootingConfig
-    from ..models.footing import solve
+    from ..models.footing import build_df32, _package_df32
 
     results = []
     for level in levels:
         cfg = FootingConfig.fast(
-            solver="cg", level=level, cg_maxiter=4000
+            solver="cg", level=level, cg_maxiter=4000, **cfg_kw
         )
         t0 = time.perf_counter()
-        r = solve(cfg)
+        run, args, mesh = build_df32(cfg)
+        setup = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = _package_df32(run(args), mesh)
         first = time.perf_counter() - t0
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = solve(cfg)
+            r = _package_df32(run(args), mesh)
             walls.append(time.perf_counter() - t0)
-        # NOTE: solve() rebuilds the jit per call; walls include retrace
-        # but reuse the persistent compile cache — a production server
-        # would hold the built runner (see tsx build_df32 reuse pattern)
         rec = {
             "level": level,
             "n_elems": int(r.mesh.n_elems),
             "n_dofs": int(2 * r.mesh.n_nodes),
             "wall_s": float(np.median(walls)) if walls else first,
             "first_incl_compile_s": first,
+            "setup_s": setup,
             "n_steps": int(r.n_steps),
             "n_newton_total": int(r.n_newton_total),
             "n_plastic": int(r.n_plastic),

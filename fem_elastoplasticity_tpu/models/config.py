@@ -53,6 +53,9 @@ class FootingConfig:
     newton_tol: float = 1e-12
     accept_tol: float = 1e-10
     max_steps: int = 1000  # history buffer length (P:1013)
+    # cap on load-loop trips per stepper invocation (resume-chunked
+    # execution, solve/chunked.py — see TsxTunnelConfig.max_trips)
+    max_trips: int = 10000
     # "dense" | "cg".  An ELL-multigrid footing mode was measured and
     # REJECTED: the elastic V-cycle preconditions this problem's tangent
     # poorly once the plastic zone spans most of the domain (~75% of
@@ -60,6 +63,13 @@ class FootingConfig:
     # steps vs 22 with plain block-Jacobi cg (same 17.681 limit
     # pressure).  cg IS the footing scale path (BENCH_NOTES.md).
     solver: str = "dense"
+    # solver="cg" + precision="df32": RCM-permute the problem and run
+    # tangent CG on an assembled slot operator refreshed from ALL
+    # integration points once per Newton iteration (the full-tangent
+    # scatter, solve/newton.py corr_full — the elastic+low-rank trick is
+    # inapplicable at this problem's ~75% plastic fraction; reference
+    # analog: the per-iteration D_p reassembly, P:1047-1050).
+    assembled_cg: bool = False
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # iterative tangent solves (solver="cg"); None resolves dtype-aware:
     # 1e-14 (f64) / 2e-7 (f32 preconditioned-residual floor)
@@ -131,6 +141,14 @@ class TsxTunnelConfig:
     # ELL) or "slot" (compacted-slot, ops/spmv.py build_slot — fewer VPU
     # ops per row; 2.6x faster matvec at 910k DOFs)
     spmv_fmt: str = "slot"
+    # plastic tangent correction for the assembled-operator CG
+    # (solver="ell", P1): "gather" applies the low-rank B^T (w*delta) B
+    # correction as a gather/segment-sum operator every CG iteration;
+    # "scatter" refreshes a copy of the fine-level slot VALUE stream once
+    # per Newton iteration (static-sparsity scatter via a host-built
+    # dest-position table, ops/spmv.py element_corr_dest) so every CG
+    # matvec is a single slot kernel.  Same operator up to f32 rounding.
+    corr_mode: str = "gather"
     # df32 residual operator format: None = auto ("slot" below 100k
     # integration points, "rslot" above: the ragged chunking keeps the
     # slot layout compact at scale — 174+161 MB and 0.50+0.43 ms for

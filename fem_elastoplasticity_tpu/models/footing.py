@@ -180,12 +180,14 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
     )
 
 
-def _solve_df32(cfg: FootingConfig) -> FootingResult:
-    """Double-float fast path: f32 hardware, the f64 adaptive schedule.
+def build_df32(cfg: FootingConfig):
+    """Build the jitted df32 footing solver: returns (run, args, mesh).
 
-    Mirrors `models.tsx_tunnel._solve_df32`; the footing's inhomogeneous
+    Mirrors `models.tsx_tunnel.build_df32`; the footing's inhomogeneous
     Dirichlet load rides the df32 state (the warm-start extrapolation sets
-    the constrained DOFs exactly since they are linear in zeta)."""
+    the constrained DOFs exactly since they are linear in zeta).
+    `run(a, resume=None)` supports the stepper's exact resume carry
+    (chunked/checkpointed execution, `build_df32_chunked`)."""
     import jax
 
     from ..ops import assembly as asm
@@ -199,12 +201,60 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
     mesh = build_mesh(cfg)
     shear, bulk = lame_moduli(cfg.young, cfg.poisson)
     eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    ref = volume_element(cfg.etype)
+
+    K_slot = None
+    if cfg.assembled_cg:
+        # assembled full-tangent CG (config.assembled_cg): RCM locality
+        # ordering, host-assembled elastic slot operator + the scatter
+        # destination table for the per-Newton-iteration value refresh
+        assert cfg.solver == "cg", "assembled_cg needs solver='cg'"
+        from ..mesh.structured import Mesh as _Mesh
+        from ..ops import spmv as _spmv_mod
+
+        order = _spmv_mod.rcm_node_order(
+            np.asarray(mesh.elems), mesh.n_nodes
+        )
+        coords2, elems2, new_of_old = _spmv_mod.permute_mesh(
+            np.asarray(mesh.coords, np.float64), np.asarray(mesh.elems),
+            order,
+        )
+        esort = np.argsort(elems2.min(axis=1), kind="stable")
+        elems2 = elems2[esort]
+        free2 = np.asarray(mesh.free)[order]
+        dirichlet2 = np.asarray(mesh.dirichlet)[order]
+        mesh = _Mesh(
+            coords2, elems2, cfg.etype, dirichlet=dirichlet2, free=free2
+        )
+        _Ka, _Km, _K_csr = _spmv_mod.build_ell_elastic(
+            coords2, elems2, ref, shear, bulk, free=free2, fmt="slot"
+        )
+        _corr_np = _spmv_mod.element_corr_dest(_K_csr, _Km, elems2, free2)
+        K_slot = (_Ka, _Km)
 
     fmap_np, n_free = asm.free_dof_map(mesh.free)
     free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
     fmap = jnp.asarray(fmap_np)
-    ref = volume_element(cfg.etype)
     gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+    if K_slot is not None:
+        # the runtime geometry pads elements to a lane multiple; padded
+        # slots have zero B/weight (zero stiffness entries), dest -1
+        # keeps the scatter aligned and drops them
+        _n_pad_e = gdf.hi.n_int // gdf.hi.n_q
+        if _corr_np.shape[0] < _n_pad_e:
+            _corr_np = np.concatenate(
+                [
+                    _corr_np,
+                    np.full(
+                        (_n_pad_e - _corr_np.shape[0],) + _corr_np.shape[1:],
+                        -1, _corr_np.dtype,
+                    ),
+                ],
+                axis=0,
+            )
+        from ..ops import spmv as _spmv_pad
+
+        _corr_dest = _spmv_pad._staged_asarray(_corr_np)
     n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
     f32 = jnp.float32
 
@@ -222,6 +272,7 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         zeta_max=cfg.zeta_max,
         max_steps=cfg.max_steps,
         step0=1,  # reference starts its history at index 1 (P:1025)
+        max_trips=cfg.max_trips,
     )
 
     args = dict(
@@ -233,9 +284,12 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         footing=footing_nodes,
         pinz=jnp.zeros((max(4 * gdf.hi.n_int, 2 * n_nodes),), f32),
     )
+    if K_slot is not None:
+        args["K_slot"] = K_slot[0]
+        args["corr_dest"] = _corr_dest
 
     @jax.jit
-    def run(a):
+    def run(a, resume=None):
         g = adf.GeometryDF(
             hi=asm.Geometry(
                 B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
@@ -284,9 +338,18 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
             blocks = asm.node_block_diagonal(g.hi, D)
             pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
 
+            if K_slot is not None:
+                from ..ops import spmv as _spmv_rt
+
+                K_op = lambda v: _spmv_rt.sp_matvec(
+                    a["K_slot"], K_slot[1], v
+                )
+            else:
+                K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
+
             def solve_fn(r_hi):
                 return solve_cg(
-                    lambda v: asm.tangent_matvec(g.hi, D, v),
+                    K_op,
                     r_hi, fmask, precond=pre, tol=cg_tol,
                     maxiter=cfg.cg_maxiter, structure=cfg.cg_structure,
                 ).x
@@ -323,12 +386,22 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
             cg_structure=cfg.cg_structure,
             apex_ep_uses_trial=cfg.bug_compatible_apex,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
+            elastic_op=(
+                (a["K_slot"], K_slot[1]) if K_slot is not None else None
+            ),
+            corr_dest=a.get("corr_dest"),
+            corr_full=K_slot is not None,
             precision="df32",
             pin_zeros=a["pinz"],
         )
-        return stepper(df_pin(U_it0, a["pinz"]), 0.0, d_zeta)
+        return stepper(
+            df_pin(U_it0, a["pinz"]), 0.0, d_zeta, resume=resume
+        )
 
-    res = run(args)
+    return run, args, mesh
+
+
+def _package_df32(res, mesh) -> FootingResult:
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
     return FootingResult(
         u=f64(res.u).reshape(-1, 2),
@@ -341,3 +414,37 @@ def _solve_df32(cfg: FootingConfig) -> FootingResult:
         mesh=mesh,
         n_cg_total=int(res.n_cg_total),
     )
+
+
+def _solve_df32(cfg: FootingConfig) -> FootingResult:
+    run, args, mesh = build_df32(cfg)
+    return _package_df32(run(args), mesh)
+
+
+def build_df32_chunked(
+    cfg: FootingConfig, trips_per_chunk: int = 3, max_chunks: int = 2000
+):
+    """Resume-chunked df32 footing executor: returns (execute, mesh).
+
+    `execute(checkpoint_path=None)` runs the adaptive pressure schedule
+    in `trips_per_chunk`-trip dispatches via the generic chunked driver
+    (`solve/chunked.py`) — trajectory-identical to the single-dispatch
+    run, and interruption-recoverable with a checkpoint path (mirrors
+    `models.tsx_tunnel.build_df32_chunked`)."""
+    import dataclasses
+
+    from ..solve import chunked as _chunked
+
+    cfg2 = dataclasses.replace(cfg, max_trips=trips_per_chunk)
+    run, args, mesh = build_df32(cfg2)
+
+    def execute(checkpoint_path=None):
+        return _chunked.run_chunked(
+            run, args,
+            zeta_max=cfg.zeta_max,
+            d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+            max_chunks=max_chunks,
+            checkpoint_path=checkpoint_path,
+        )
+
+    return execute, mesh

@@ -135,16 +135,27 @@ def assemble_csr(ke: np.ndarray, edofs: np.ndarray, n2: int):
 
 def apply_bc_csr(K, free_flat: np.ndarray):
     """Zero constrained rows/cols, unit diagonal (reference masking
-    semantics without the Q Q^T outer product, T:1741-1744)."""
-    import scipy.sparse as sp
+    semantics without the Q Q^T outer product, T:1741-1744).
 
+    Scales `K.data` in place rather than multiplying by diagonal
+    matrices: scipy's sparse matmul PRUNES zero-valued results, and the
+    full element-connectivity pattern must survive — structured meshes
+    carry exact zeros in the ELASTIC stiffness (axis-aligned xy cross
+    terms) at positions the PLASTIC tangent needs (the static-structure
+    value refresh scatters into them, `element_corr_dest`).
+    """
     free = np.asarray(free_flat).reshape(-1)
-    n2 = K.shape[0]
-    d = sp.diags(free.astype(np.float64))
-    Kf = d @ K @ d
-    Kf = Kf + sp.diags((~free).astype(np.float64))
-    Kf = Kf.tocsr()
+    Kf = K.tocsr().copy()
     Kf.sum_duplicates()
+    rows = np.repeat(np.arange(Kf.shape[0]), np.diff(Kf.indptr))
+    Kf.data = Kf.data * (free[rows] & free[Kf.indices])
+    # unit diagonal at constrained DOFs, written in place (scipy 1.17
+    # binary ops like `+ diags(...)` ALSO prune zero entries) — every
+    # diagonal is structurally present: each DOF belongs to an element
+    con = np.nonzero(~free)[0]
+    kd = csr_lookup(Kf, con, con)
+    assert (kd >= 0).all(), "missing diagonal entries in the FEM pattern"
+    Kf.data[kd] = 1.0
     return Kf
 
 
@@ -338,6 +349,8 @@ def build_sparse(K_csr, dtype=np.float32, fmt: str = "ell"):
 
 def sp_matvec(arrays: dict, meta, v: jnp.ndarray) -> jnp.ndarray:
     """Format-generic K v: dispatches on the static meta type."""
+    if isinstance(meta, ShardedMeta):
+        return _sharded_matvec(arrays, meta, v)
     if isinstance(meta, SlotMeta):
         return slot_matvec(arrays, meta, v)
     return ell_matvec(arrays, meta, v)
@@ -538,6 +551,89 @@ def _slot_pack(K_csr):
 
     meta = SlotMeta(n2=n2, n_in=n_in, n_sb=n_sb, s_pad=s_pad, vrows=vrows)
     return meta, nsl, srow, cidx, (blk2, s, lane2), o[o2]
+
+
+def slot_csr_positions(K_csr, meta: "SlotMeta") -> np.ndarray:
+    """Flat destination of every CSR nonzero inside the slot `vals` tensor.
+
+    Re-runs the (deterministic) `_slot_pack` on the SAME matrix the
+    operator was built from and converts each entry's (block, slot, lane)
+    cell to its flat index in the packed value array — the dense tiled
+    layout (n_sb, s_pad, 8, 128) or the ragged chunk layout
+    (n_ch, u, 8, 128), matching `meta`.  Returns (nnz,) int64, aligned
+    with `K_csr.data`.
+
+    This is the host half of the static-structure tangent refresh
+    (`solve/newton.py` corr_dest): because the assembled operator's
+    sparsity is FIXED across Newton iterations (SURVEY §7 "same fixed
+    sparsity every iteration"), per-integration-point tangent corrections
+    can be scatter-added into a copy of the value stream once per Newton
+    iteration — every CG matvec then runs the plain slot kernel with no
+    per-iteration gather/segment-sum correction operator.
+    """
+    meta2, nsl, srow, cidx, (blk2, s, lane2), perm = _slot_pack(K_csr)
+    assert (meta2.n2, meta2.n_in, meta2.n_sb, meta2.s_pad) == (
+        meta.n2, meta.n_in, meta.n_sb, meta.s_pad,
+    ), (meta2, meta)
+    sb = blk2 >> 3
+    p = blk2 & 7
+    if meta.n_ch:
+        # ragged chunk layout (_ragged_pack): chunk = base[sb] + s // u,
+        # cell (chunk, s % u, p, lane)
+        u = meta.u
+        nch_b = np.maximum((nsl.astype(np.int64) + u - 1) // u, 1)
+        base = np.cumsum(nch_b) - nch_b
+        ch = base[sb] + s // u
+        flat = ((ch * u + s % u) * 8 + p) * 128 + lane2
+    else:
+        flat = ((sb * meta.s_pad + s) * 8 + p) * 128 + lane2
+    pos = np.empty(K_csr.nnz, np.int64)
+    pos[perm] = flat
+    return pos
+
+
+def csr_lookup(K_csr, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Vectorized CSR entry lookup: index k with (row, col), else -1."""
+    n2 = K_csr.shape[1]
+    deg = np.diff(K_csr.indptr)
+    all_keys = (
+        np.repeat(np.arange(K_csr.shape[0], dtype=np.int64), deg) * n2
+        + K_csr.indices.astype(np.int64)
+    )
+    q = rows.astype(np.int64) * n2 + cols.astype(np.int64)
+    k = np.searchsorted(all_keys, q)
+    k = np.minimum(k, max(all_keys.size - 1, 0))
+    hit = all_keys[k] == q if all_keys.size else np.zeros(q.shape, bool)
+    return np.where(hit, k, -1)
+
+
+def element_corr_dest(
+    K_csr, meta: "SlotMeta", elems: np.ndarray, free_flat: np.ndarray
+) -> np.ndarray:
+    """(n_e, 2n_p, 2n_p) i32 scatter destinations for per-element tangent
+    correction blocks into the slot value stream of the assembled
+    (BC-masked) operator built from `K_csr`.
+
+    Entries whose row or column DOF is constrained get -1 (dropped by the
+    runtime scatter, mode='drop'): the assembled operator zeroes those
+    rows/cols (`apply_bc_csr`) and CG masks them, so omitting the
+    correction there is exact.  Local DOF order is the interleaved
+    [2v0, 2v0+1, 2v1, ...] convention of `Geometry.edofs` /
+    `plastic_correction_gather`.
+    """
+    pos = slot_csr_positions(K_csr, meta)
+    edofs = np.stack([2 * elems, 2 * elems + 1], axis=-1).reshape(
+        elems.shape[0], -1
+    )
+    n2p = edofs.shape[1]
+    rows = np.repeat(edofs, n2p, axis=1).reshape(-1)
+    cols = np.tile(edofs, (1, n2p)).reshape(-1)
+    free = np.asarray(free_flat).reshape(-1)
+    k = csr_lookup(K_csr, rows, cols)
+    ok = (k >= 0) & free[rows] & free[cols]
+    dest = np.where(ok, pos[np.maximum(k, 0)], -1)
+    assert dest.max(initial=-1) < np.iinfo(np.int32).max
+    return dest.reshape(elems.shape[0], n2p, n2p).astype(np.int32)
 
 
 def _slot_tile(x, n_sb, s_pad):
@@ -878,6 +974,8 @@ class SplitColsDfMeta(NamedTuple):
 
 def sp_matvec_df(arrays: dict, meta, v_hi, v_lo):
     """Format-generic double-float A v: dispatches on the meta type."""
+    if isinstance(meta, ShardedMeta):
+        return _sharded_matvec_df(arrays, meta, v_hi, v_lo)
     if isinstance(meta, SplitColsDfMeta):
         from .df32 import DF, df_add, df_barrier
 
@@ -1373,7 +1471,9 @@ def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(-1)[: meta.n2]
 
 
-def _slot_sweep_kernel(meta: SlotMeta, update: bool, unroll: bool = True):
+def _slot_sweep_kernel(
+    meta: SlotMeta, update: bool, unroll: bool = True, split_z: bool = False
+):
     """Fused block-Jacobi smoother sweep (see `slot_sweep`).
 
     res = mask * (r - K z); update=True additionally applies the damped
@@ -1381,13 +1481,23 @@ def _slot_sweep_kernel(meta: SlotMeta, update: bool, unroll: bool = True):
     value comes from an in-kernel pairwise lane gather, iota^1) and
     returns z + mask * (msf*res + mpr*res_pair); update=False returns
     the masked residual alone (the restriction input).
+
+    split_z: the block's own z rows arrive as a separate per-block input
+    (`zb_ref`) instead of being read from the input vector at the block's
+    global row offset — required under row sharding, where the kernel's
+    block index is shard-local but the input vector is the full replicated
+    z (`slot_sweep` ShardedMeta path).
     """
 
-    def kern(
-        srow_ref, cidx_ref, vals_ref, v_ref, r_ref, mask_ref,
-        msf_ref, mpr_ref, o_ref,
-    ):
+    def kern(*refs):
         import jax.experimental.pallas as pl
+
+        if split_z:
+            (srow_ref, cidx_ref, vals_ref, v_ref, zb_ref, r_ref,
+             mask_ref, msf_ref, mpr_ref, o_ref) = refs
+        else:
+            (srow_ref, cidx_ref, vals_ref, v_ref, r_ref, mask_ref,
+             msf_ref, mpr_ref, o_ref) = refs
 
         def body(s, acc):
             tile = jnp.concatenate(
@@ -1406,8 +1516,11 @@ def _slot_sweep_kernel(meta: SlotMeta, update: bool, unroll: bool = True):
             return
         sw = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) ^ 1
         res_sw = jnp.take_along_axis(res, sw, axis=1)
-        blk = pl.program_id(0)
-        zblk = v_ref[pl.ds(blk * 8, 8), :]
+        if split_z:
+            zblk = zb_ref[...]
+        else:
+            blk = pl.program_id(0)
+            zblk = v_ref[pl.ds(blk * 8, 8), :]
         o_ref[...] = zblk + (
             msf_ref[...] * res + mpr_ref[...] * res_sw
         ) * mask_ref[...]
@@ -1508,8 +1621,60 @@ def slot_sweep(
     d*r1 + c*r0 instead of the einsum's c*r0 + d*r1 — same values, one
     reordered addition, so results can differ by 1 ulp (the V-cycle is a
     preconditioner; CG trajectories remain within solver tolerance).
+
+    ShardedMeta (under shard_map): `aux` and `r2` are the device-local
+    row slices, z the full replicated iterate; the local sweep runs the
+    split-z kernel and the updated rows are all_gathered back into the
+    full vector (bit-identical per row to the single-device sweep).
     """
     import jax.experimental.pallas as pl
+
+    if isinstance(meta, ShardedMeta):
+        m = meta.local
+        assert isinstance(m, SlotMeta) and m.n_ch == 0
+        v2 = jnp.zeros((m.vrows * 128,), jnp.float32).at[: m.n_in].set(
+            jnp.asarray(z, jnp.float32)
+        ).reshape(m.vrows, 128)
+        interpret = jax.default_backend() != "tpu"
+        blk = pl.BlockSpec((8, 128), lambda b: (b, 0))
+        in_specs = [
+            pl.BlockSpec(
+                (1, 8, m.s_pad), lambda b: (b, 0, 0), memory_space=_smem()
+            ),
+            pl.BlockSpec((1, m.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, m.s_pad, 8, 128), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((m.vrows, 128), lambda b: (0, 0)),
+        ]
+        ops = [arrays["srow"], arrays["cidx"], arrays["vals"], v2]
+        if update:
+            # local z row blocks for the update term (split_z kernel doc)
+            idx = jax.lax.axis_index(meta.axis)
+            rows_tot = m.n_sb * meta.n_shards * 8
+            zb_full = jnp.zeros((rows_tot * 128,), jnp.float32).at[
+                : meta.n2
+            ].set(jnp.asarray(z, jnp.float32)).reshape(rows_tot, 128)
+            ops.append(
+                jax.lax.dynamic_slice_in_dim(
+                    zb_full, idx * m.n_sb * 8, m.n_sb * 8, axis=0
+                )
+            )
+            in_specs.append(blk)
+        ops += [r2, aux["mask"], aux["msf"], aux["mpr"]]
+        in_specs += [blk, blk, blk, blk]
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                _slot_sweep_kernel(
+                    m, update, unroll=not interpret, split_z=update
+                ),
+                grid=(m.n_sb,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (m.n_sb * 8, 128), jnp.float32
+                ),
+                interpret=interpret,
+            )(*ops)
+        return _gather_rows(out.reshape(-1), meta)
 
     assert meta.n2 == meta.n_in, "fused sweep needs a square operator"
     rows = max(meta.vrows, meta.n_sb * 8)
@@ -1558,8 +1723,24 @@ def slot_sweep(
     return out.reshape(-1)[: meta.n2]
 
 
-def pad_rhs(r: jnp.ndarray, meta: SlotMeta) -> jnp.ndarray:
-    """Flat (n2,) -> (n_sb*8, 128) blocks for `slot_sweep`'s r input."""
+def pad_rhs(r: jnp.ndarray, meta) -> jnp.ndarray:
+    """Flat (n2,) -> (n_sb*8, 128) blocks for `slot_sweep`'s r input.
+
+    ShardedMeta: returns this device's local row-block slice.
+    """
+    if isinstance(meta, ShardedMeta):
+        m = meta.local
+        rows_tot = m.n_sb * meta.n_shards * 8
+        full = (
+            jnp.zeros((rows_tot * 128,), jnp.float32)
+            .at[: meta.n2]
+            .set(jnp.asarray(r, jnp.float32))
+            .reshape(rows_tot, 128)
+        )
+        idx = jax.lax.axis_index(meta.axis)
+        return jax.lax.dynamic_slice_in_dim(
+            full, idx * m.n_sb * 8, m.n_sb * 8, axis=0
+        )
     rows = meta.n_sb * 8
     return (
         jnp.zeros((rows * 128,), jnp.float32)
@@ -1762,3 +1943,121 @@ def slot_sweep_pk(
             v2, r2, aux["mask"], aux["msf"], aux["mpr"],
         )
     return out.reshape(-1)[: meta.n2]
+
+
+# ---------------------------------------------------------------------------
+# multi-chip SPMD: output-row partitioning over a device mesh (shard_map)
+# ---------------------------------------------------------------------------
+#
+# TPU-native scaling design for the assembled operators (SURVEY.md §2.4;
+# the reference has no parallelism at all — `tsx-tunnel/pythonFEM.py` is a
+# single NumPy process).  An assembled operator maps a REPLICATED input
+# vector to output rows; both the slot and windowed-ELL layouts block
+# output rows (128-lane blocks grouped into superblocks / GPB groups) and
+# pack each block independently of every other block.  Row-partitioning on
+# block boundaries therefore gives every device a contiguous slice of the
+# UNCHANGED arrays: the local kernel arithmetic is bit-identical to the
+# single-device kernel on those rows, and the full output vector is
+# reassembled with one `all_gather` (pure concatenation — exact, unlike a
+# psum, so df32 pairs survive with their compensation intact).
+#
+# Collectives per operator application: ONE all_gather of n2/n_dev * f32
+# (x2 for df pairs), riding ICI.  No halo exchange is needed — the input
+# vector is replicated, and rows are whole per device.
+
+OP_AXIS = "oprows"
+
+
+class ShardedMeta(NamedTuple):
+    """Row-sharded operator meta: `local` is each device's kernel meta.
+
+    Hashable/static like the metas it wraps.  `n2` is the FULL output row
+    count (the gathered result is trimmed to it); the padding superblocks
+    added to make the row blocks divide evenly hold zero values and are
+    inert.  Dispatch happens inside `sp_matvec` / `sp_matvec_df` /
+    `slot_sweep` / `pad_rhs`: call sites (solve/newton.py,
+    solve/multigrid.py) are unchanged — under `shard_map` they receive the
+    local array slices and a ShardedMeta, outside they never see one.
+    """
+
+    local: NamedTuple  # SlotMeta or EllMeta with per-shard n_sb/n_groups
+    n2: int            # full (unsharded) output rows
+    n_shards: int
+    axis: str = OP_AXIS
+
+
+def shard_rows(arrays: dict, meta, n_shards: int, axis: str = OP_AXIS):
+    """Pad an operator's row blocks to split evenly over `n_shards`.
+
+    Returns (arrays', ShardedMeta, specs) where `specs` maps each array
+    key to a `jax.sharding.PartitionSpec` — leading-axis sharding for the
+    row-blocked tensors, replicated for global side arrays (ELL overflow
+    COO, applied identically on every device after the gather).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def _pad0(v, n):
+        if n == 0:
+            return v
+        z = jnp.zeros((n,) + tuple(v.shape[1:]), v.dtype)
+        return jnp.concatenate([jnp.asarray(v), z], axis=0)
+
+    out, specs = {}, {}
+    if isinstance(meta, SlotMeta):
+        assert meta.n_ch == 0, "ragged-slot sharding: use shard_rows_rslot"
+        sbl = -(-meta.n_sb // n_shards)
+        pad = sbl * n_shards - meta.n_sb
+        for k, v in arrays.items():
+            out[k] = _pad0(v, pad)
+            specs[k] = P(axis)
+        local = meta._replace(n_sb=sbl, n2=sbl * 8 * 128)
+        return out, ShardedMeta(local, meta.n2, n_shards, axis), specs
+    assert isinstance(meta, EllMeta), meta
+    gmult = GPB * n_shards
+    ngl = -(-meta.n_groups // gmult) * gmult // n_shards
+    pad = ngl * n_shards - meta.n_groups
+    for k in ("w0", "li", "vals"):
+        out[k] = _pad0(arrays[k], pad)
+        specs[k] = P(axis)
+    for k in ("ov_r", "ov_c", "ov_v"):
+        if k in arrays:
+            out[k] = arrays[k]
+            specs[k] = P()
+    # local kernel: no trim (n2 = all local rows), overflow applied by the
+    # caller on the gathered full vector
+    local = meta._replace(
+        n_groups=ngl, n2r=ngl * RPG, n2=ngl * RPG * 128, n_overflow=0
+    )
+    return out, ShardedMeta(local, meta.n2, n_shards, axis), specs
+
+
+def _gather_rows(y_local: jnp.ndarray, meta: ShardedMeta) -> jnp.ndarray:
+    """Concatenate per-device row blocks -> full (n2,) vector (exact)."""
+    y = jax.lax.all_gather(y_local, meta.axis, tiled=True)
+    return y[: meta.n2]
+
+
+def _sharded_matvec(arrays: dict, meta: ShardedMeta, v: jnp.ndarray):
+    m = meta.local
+    if isinstance(m, SlotMeta):
+        y = slot_matvec(arrays, m, v)
+    else:
+        y = ell_matvec(
+            {k: arrays[k] for k in ("w0", "li", "vals")}, m, v
+        )
+    y = _gather_rows(y, meta)
+    if "ov_r" in arrays:
+        # replicated COO side path on the gathered vector — identical on
+        # every device, so the result stays replicated
+        v32 = jnp.asarray(v, jnp.float32)
+        y = y.at[arrays["ov_r"]].add(arrays["ov_v"] * v32[arrays["ov_c"]])
+    return y
+
+
+def _sharded_matvec_df(arrays: dict, meta: ShardedMeta, v_hi, v_lo):
+    m = meta.local
+    assert isinstance(m, SlotMeta), (
+        "sharded df residual operators use the slot format"
+    )
+    oh, ol = slot_matvec_df(arrays, m, v_hi, v_lo)
+    return _gather_rows(oh, meta), _gather_rows(ol, meta)

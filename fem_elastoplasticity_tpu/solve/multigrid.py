@@ -416,7 +416,67 @@ def build_hierarchy_ell(
     # that permute a problem onto this ordering match nodes against it
     # (e.g. the p-multigrid P2/P4 lattice match, models/tsx_tunnel.py)
     coarse["fine_coords"] = c2
+    # fine-level BC-masked CSR (host-only): the static-structure tangent
+    # refresh builds its scatter-destination table from the exact matrix
+    # the fine slot operator was packed from (ops/spmv.py
+    # element_corr_dest; consumed by models/tsx_tunnel.py corr_mode)
+    coarse["fine_K"] = K
+    coarse["fine_free"] = free2
     return arrays, metas, perms, coarse
+
+
+def shard_hierarchy_ell(arrays, metas, n_shards: int, axis=None):
+    """Row-partition an ELL/slot hierarchy over `n_shards` devices.
+
+    Every level's operator, transfer operators and fused-sweep aux rows
+    are padded to split evenly and annotated for leading-axis sharding;
+    the tiny per-level block-inverse/free-mask arrays (and the coarse
+    direct solve) stay replicated.  Returns (arrays', metas', specs) —
+    metas' wrap each operator meta in `ops.spmv.ShardedMeta`, so
+    `make_vcycle_ell` works unchanged under `shard_map` (the dispatch
+    lives in ops/spmv.py); `specs` mirrors arrays' with PartitionSpecs
+    for the shard_map in_specs tree.
+
+    TPU-native scaling rationale (SURVEY.md §2.4): the V-cycle is the
+    dominant per-CG-iteration cost at scale and its operator arrays are
+    the dominant memory (3.1 GB at the 908k-element level 5) — row
+    sharding divides both by the device count, at the price of one
+    all_gather per kernel application over ICI.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import spmv
+
+    if axis is None:
+        axis = spmv.OP_AXIS
+    out_a, out_m, out_s = [], [], []
+    for arr, meta in zip(arrays, metas):
+        a2, m2 = dict(arr), dict(meta)
+        s2 = {k: jax.tree.map(lambda _: P(), v) for k, v in arr.items()}
+        for key in [k for k in ("op", "P", "R") if k in m2]:
+            pa, pm, ps = spmv.shard_rows(arr[key], meta[key], n_shards, axis)
+            a2[key], m2[key], s2[key] = pa, pm, ps
+        assert "opk" not in arr, (
+            "bf16-packed smoother streams are not row-sharded yet — build "
+            "the hierarchy with pack_bf16=False for multi-chip runs"
+        )
+        if "msf" in arr:
+            # fused-sweep aux: pad to the op's padded row blocks, shard
+            sbl = m2["op"].local.n_sb
+            rows_tot = sbl * n_shards * 8
+            for k in ("mask", "msf", "mpr"):
+                v = arr[k]
+                padn = rows_tot - v.shape[0]
+                if padn:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((padn, 128), v.dtype)], axis=0
+                    )
+                a2[k] = v
+                s2[k] = P(axis)
+        out_a.append(a2)
+        out_m.append(m2)
+        out_s.append(s2)
+    return out_a, out_m, out_s
 
 
 def make_vcycle_ell(metas, coarse_solve, nu=2):
@@ -446,8 +506,12 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
     def _fused(arr, meta):
         # slot-format hierarchies carry the fused-sweep constants
         # (build_hierarchy_ell); ELL-format ones fall back to the
-        # unfused sweep chain
-        return "msf" in arr and isinstance(meta["op"], spmv.SlotMeta)
+        # unfused sweep chain.  Row-sharded metas fuse iff their local
+        # format does (ops/spmv.py ShardedMeta).
+        m = meta["op"]
+        if isinstance(m, spmv.ShardedMeta):
+            m = m.local
+        return "msf" in arr and isinstance(m, spmv.SlotMeta)
 
     nu_pre, nu_post = (nu, nu) if isinstance(nu, int) else nu
 

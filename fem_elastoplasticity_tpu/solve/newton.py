@@ -144,6 +144,8 @@ def build_load_stepper(
     mg_preconditioner: Optional[Callable] = None,
     elastic_op=None,
     plastic_cap: Optional[int] = None,
+    corr_dest=None,
+    corr_full: bool = False,
     df_residual_op=None,
     smw_cap: Optional[int] = None,
     smw_fallback: bool = True,
@@ -183,6 +185,25 @@ def build_load_stepper(
                   overflow beyond the cap degrades the tangent (never the
                   residual): Newton may take extra iterations but the
                   answer is unchanged.
+      corr_dest:  optional (n_e, 2n_p, 2n_p) i32 scatter-destination table
+                  (`ops.spmv.element_corr_dest`) enabling the
+                  static-structure tangent refresh: instead of applying
+                  the plastic correction as a gather/segment-sum operator
+                  every CG iteration, the per-point correction blocks are
+                  scatter-added into a COPY of elastic_op's slot value
+                  stream once per Newton iteration — each CG matvec is
+                  then a single slot kernel.  Identical operator up to f32
+                  summation order.  Must be a jit argument (axon constant
+                  pathology).
+      corr_full:  with corr_dest — refresh from ALL integration points
+                  (one batched element_stiffness of d - d_elastic + one
+                  full-mesh scatter per Newton iteration) instead of the
+                  plastic_cap slot subset.  The assembled FULL-tangent
+                  operator for problems whose plastic zone spans most of
+                  the domain (footing: ~75% of points at the nu=0.48
+                  limit load — the low-rank correction is inapplicable;
+                  reference analog: the per-iteration D_p reassembly,
+                  `Plasticity2D_DP/pythonFEM.py:1047-1050`).
       df_residual_op: optional (G_arrays, G_meta, S_arrays, S_meta)
                   assembled strain/force operators for the df32 residual
                   (`ops.spmv.build_residual_slot_df`): strains and the
@@ -538,13 +559,53 @@ def build_load_stepper(
 
             op_arr, op_meta = elastic_op
             d_el = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
-            idx_p, valid_p = asm.plastic_slots(ind_p, plastic_cap)
-            Bp, wdelta, edp = asm.plastic_correction_gather(
-                geom, d - d_el, idx_p, valid_p
-            )
-            A_op = lambda v: _spmv.sp_matvec(
-                op_arr, op_meta, v
-            ) + asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, v)
+            if corr_dest is not None and corr_full:
+                # assembled full-tangent refresh (corr_full doc): batched
+                # element stiffness of the tangent deviation + one
+                # full-mesh static scatter per Newton iteration.
+                # element_stiffness is lane-major (2n_p, 2n_p, n_e) —
+                # transpose to corr_dest's (n_e, row, col) layout.
+                corr_vals = jnp.transpose(
+                    asm.element_stiffness(geom, d - d_el), (2, 0, 1)
+                )
+            elif corr_dest is not None:
+                # static-structure tangent refresh (corr_dest doc): one
+                # 36*cap-index scatter per Newton iteration replaces the
+                # gather/segment-sum correction in every CG matvec.
+                # Invalid/padding slots carry zero wdelta (inert adds);
+                # constrained-DOF entries carry dest -1 (mode="drop").
+                idx_p, valid_p = asm.plastic_slots(ind_p, plastic_cap)
+                Bp, wdelta, edp = asm.plastic_correction_gather(
+                    geom, d - d_el, idx_p, valid_p
+                )
+                corr_vals = jnp.einsum("aip,abp,bjp->pij", Bp, wdelta, Bp)
+            if corr_dest is not None:
+                dest = (
+                    corr_dest
+                    if corr_full
+                    else corr_dest[idx_p // geom.n_q]
+                )
+                vals = op_arr["vals"]
+                vals_t = (
+                    vals.reshape(-1)
+                    .at[dest.reshape(-1)]
+                    .add(
+                        corr_vals.reshape(-1).astype(vals.dtype),
+                        mode="drop",
+                    )
+                    .reshape(vals.shape)
+                )
+                arr_t = dict(op_arr)
+                arr_t["vals"] = vals_t
+                A_op = lambda v: _spmv.sp_matvec(arr_t, op_meta, v)
+            else:
+                idx_p, valid_p = asm.plastic_slots(ind_p, plastic_cap)
+                Bp, wdelta, edp = asm.plastic_correction_gather(
+                    geom, d - d_el, idx_p, valid_p
+                )
+                A_op = lambda v: _spmv.sp_matvec(
+                    op_arr, op_meta, v
+                ) + asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, v)
         else:
             A_op = lambda v: asm.tangent_matvec(
                 geom, d, v, axis_name=axis_name
@@ -657,7 +718,9 @@ def build_load_stepper(
         (`u, u_old, u_it, ep, zeta_old, d_zeta, d_zeta_old, step, aux,
         zeta_hist, monitor_hist, nits_total, ncg_total`) to restart from a
         checkpoint (`utils.checkpoint`); missing keys use fresh values.
-        Native precision only.
+        Works in both precisions: df32 carry fields round-trip as DF
+        pairs unchanged (`solve/chunked.py`), native floats are cast to
+        the solver dtype.
         """
         zeros_h = jnp.zeros((settings.max_steps,), dtype)
 

@@ -216,6 +216,83 @@ def test_slot_matvec_matches_scipy(tsx_rcm):
     np.testing.assert_allclose(got, exp, atol=2e-6 * scale)
 
 
+def test_slot_csr_positions_roundtrip(tsx_rcm):
+    """Scattering K.data through the position map rebuilds `vals` exactly
+    (dense and ragged layouts) — the invariant the static-structure
+    tangent refresh (element_corr_dest / newton corr_dest) rests on."""
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(60000.0, 0.2)
+    _, _, K = spmv.build_ell_elastic(
+        coords2, elems2, ref, shear, bulk, free=free2
+    )
+    for ragged, u in [(False, 16), (True, 4)]:
+        arrays, meta = spmv.build_slot(K, ragged=ragged, u=u)
+        if ragged and not meta.n_ch:
+            continue  # chunking fell back to dense for this matrix
+        pos = spmv.slot_csr_positions(K, meta)
+        assert np.unique(pos).size == pos.size  # one cell per entry
+        rebuilt = np.zeros(np.asarray(arrays["vals"]).size, np.float32)
+        rebuilt[pos] = K.data.astype(np.float32)
+        np.testing.assert_array_equal(
+            rebuilt, np.asarray(arrays["vals"]).reshape(-1)
+        )
+
+
+def test_element_corr_dest_scatter_matches_apply(tsx_rcm):
+    """The scatter-refreshed operator equals elastic matvec + the
+    gather/segment-sum plastic correction (same math, f32 rounding)."""
+    coords2, elems2, free2, _ = tsx_rcm
+    ref = volume_element(ElementType.P1)
+    shear, bulk = lame_moduli(60000.0, 0.2)
+    arrays, meta, K = spmv.build_ell_elastic(
+        coords2, elems2, ref, shear, bulk, free=free2, fmt="slot"
+    )
+    dest = spmv.element_corr_dest(K, meta, elems2, free2)
+    geom = asm.compute_geometry(
+        jnp.asarray(coords2, jnp.float32), jnp.asarray(elems2),
+        __import__(
+            "fem_elastoplasticity_tpu.ops.elements", fromlist=["tables"]
+        ).tables(ref),
+    )
+    n_dofs = 2 * coords2.shape[0]
+    rng = np.random.default_rng(3)
+    # synthetic plastic set: 37 scattered points with random symmetric
+    # tangent deviations
+    cap = 64
+    n_int = geom.n_int
+    ind = np.zeros(n_int, bool)
+    ind[rng.choice(geom.n_q * geom.n_real, 37, replace=False)] = True
+    delta_r = rng.standard_normal((3, 3, n_int)).astype(np.float32)
+    delta = delta_r + delta_r.transpose(1, 0, 2)
+    idx_p, valid_p = asm.plastic_slots(jnp.asarray(ind), cap)
+    Bp, wdelta, edp = asm.plastic_correction_gather(
+        geom, jnp.asarray(delta), idx_p, valid_p
+    )
+    v = rng.standard_normal(n_dofs).astype(np.float32)
+    v = v * np.asarray(free2).reshape(-1)  # CG directions are masked
+    expected = np.asarray(
+        spmv.sp_matvec(arrays, meta, jnp.asarray(v))
+        + asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, jnp.asarray(v))
+    )
+    e_p = idx_p // geom.n_q
+    corr = jnp.einsum("aip,abp,bjp->pij", Bp, wdelta, Bp)
+    vals_t = (
+        arrays["vals"].reshape(-1)
+        .at[jnp.asarray(dest)[e_p].reshape(-1)]
+        .add(corr.reshape(-1), mode="drop")
+        .reshape(arrays["vals"].shape)
+    )
+    got = np.asarray(
+        spmv.sp_matvec({**arrays, "vals": vals_t}, meta, jnp.asarray(v))
+    )
+    free_rows = np.asarray(free2).reshape(-1)
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(
+        got[free_rows], expected[free_rows], atol=5e-5 * scale
+    )
+
+
 def test_slot_matvec_rectangular():
     """P/R-shaped (rectangular) operators work in slot format too."""
     import scipy.sparse as sp
