@@ -58,14 +58,35 @@ def _bench_solve(jax, np):
     assert rel_err < 1e-9, u40
 
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         res = run(args)
         # block_until_ready does not reliably block through the axon
         # tunnel; force a device->host fetch of the monitored DOF
         float(np.asarray(res.u.hi[2 * cfg.monitor_node]))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), rel_err
+    return float(np.median(times)), rel_err, [float(t) for t in times]
+
+
+def _bench_dispatch_floor(jax, np):
+    """Wall of a trivial jitted dispatch + host fetch: the tunnel's RTT
+    floor.  Any single-dispatch measurement (like the headline solve)
+    cannot go below this — report it so the headline's device-time
+    component (wall - floor) is visible (VERDICT r2 weak #3)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(x):
+        return x + 1.0
+
+    x = jnp.ones((8,), jnp.float32)
+    float(np.asarray(fn(x)[0]))  # compile
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(x)[0]))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def _floor_cancelled_wall(make_fn, args, np, reps=(100, 300), tries=3):
@@ -236,7 +257,8 @@ def _measure() -> None:
 
     import fem_elastoplasticity_tpu  # noqa: F401  (enables x64 + CPU flags)
 
-    wall, rel_err = _bench_solve(jax, np)
+    wall, rel_err, walls = _bench_solve(jax, np)
+    floor = _bench_dispatch_floor(jax, np)
     gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
     ell_gdof_s, ell_hbm_frac = _bench_assembled_matvec(jax, np)
 
@@ -249,6 +271,9 @@ def _measure() -> None:
                 "vs_baseline": BASELINE_WALL_S / wall,
                 "precision": "df32_fast_path",
                 "rel_err_vs_f64_trajectory": rel_err,
+                "walls_s": walls,
+                "dispatch_floor_s": floor,
+                "device_time_est_s": max(wall - floor, 0.0),
                 "gdof_per_s_matvec_l4": gdof_s,
                 "hbm_utilization_matvec_l4": hbm_frac,
                 "gdof_per_s_assembled_matvec_l4": ell_gdof_s,

@@ -324,7 +324,11 @@ def solve(cfg: TsxTunnelConfig = TsxTunnelConfig()) -> TsxResult:
     )
 
 
-def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
+def build_df32(
+    cfg: TsxTunnelConfig,
+    extras: Optional[dict] = None,
+    shard_devices: Optional[int] = None,
+):
     """Build the jitted df32 tsx solver: returns (run, args, mesh).
 
     `run(args)` executes the full load-stepped solve on device;
@@ -338,6 +342,17 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         the elastic predictor (PCG inner solve);
       start_carry(a, u_hi, u_lo) -> (uit_hi, uit_lo)  the initial Newton
         iterate d_zeta * u_elast as a DF pair.
+
+    `shard_devices` (solver="ell" only): run the PRODUCTION solver
+    multi-chip — the assembled slot/ELL operators (MG hierarchy, transfer
+    operators, df32 G/S residual operators) are row-partitioned over a
+    1D device mesh and the whole solve executes under `shard_map`.  The
+    per-shard kernels are bit-identical to the single-device kernels on
+    their rows and outputs reassemble with exact all_gathers, so the
+    adaptive trajectory matches the single-device solve
+    (tests/test_parallel.py::TestShardedScale).  Geometry, DOF vectors
+    and the Newton control flow are replicated; only operator rows (the
+    dominant memory and per-iteration cost at scale) are distributed.
     """
     import jax
 
@@ -495,6 +510,42 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             gdf, fmt=_res_fmt, max_overflow_frac=cfg.ell_overflow_frac
         )
         res_metas = (_Gm, _Sm)
+    dev_mesh = None
+    if shard_devices is not None:
+        # Multi-chip production path (docstring): row-shard the hierarchy
+        # and the df32 residual operators; build the shard_map spec trees.
+        assert cfg.solver == "ell", "shard_devices requires solver='ell'"
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh as DeviceMesh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as SpecP
+
+        from ..ops import spmv as _spmv_mod
+        from ..solve import multigrid as mgm_sh
+
+        n_dev = int(shard_devices)
+        devs = jax.devices()
+        assert len(devs) >= n_dev, (len(devs), n_dev)
+        dev_mesh = DeviceMesh(
+            mesh_utils.create_device_mesh((n_dev,), devices=devs[:n_dev]),
+            (_spmv_mod.OP_AXIS,),
+        )
+        mg_arr_ell, mg_metas_sh, mg_specs = mgm_sh.shard_hierarchy_ell(
+            mg_arr_ell, ell["metas"], n_dev
+        )
+        ell["metas"] = mg_metas_sh
+        _Ga, _Gm, g_specs = _spmv_mod.shard_rows(_Ga, _Gm, n_dev)
+        _Sa, _Sm, s_specs = _spmv_mod.shard_rows(_Sa, _Sm, n_dev)
+        res_metas = (_Gm, _Sm)
+        shard_specs = dict(mg_ell=mg_specs, G_slot=g_specs, S_slot=s_specs)
+
+        def _put_sharded(tree, spec_tree):
+            # place shards on their devices up front: each chip holds only
+            # its row slice (the capacity story at level >= 4)
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(dev_mesh, s)),
+                tree, spec_tree,
+            )
     monitor_dof = 2 * monitor_node
     f32 = jnp.float32
 
@@ -533,6 +584,24 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
         args["inv0"] = coarse_ell["inv0"]
         args["free_idx0"] = coarse_ell["free_idx0"]
         args["G_slot"], args["S_slot"] = _Ga, _Sa
+    if (
+        cfg.solver == "ell"
+        and cfg.corr_mode == "scatter"
+        and cfg.etype == ElementType.P1
+        and dev_mesh is None
+    ):
+        # static-structure tangent refresh (config.corr_mode): host-built
+        # scatter-destination table from the exact fine-level CSR the slot
+        # operator was packed from.  Runtime element order is the esort
+        # permutation of the hierarchy's fine mesh — dest rows follow it.
+        from ..ops import spmv as _spmv_mod3
+
+        args["corr_dest"] = _spmv_mod3._staged_asarray(
+            _spmv_mod3.element_corr_dest(
+                coarse_ell["fine_K"], ell["metas"][-1]["op"],
+                np.asarray(mesh.elems), coarse_ell["fine_free"],
+            )
+        )
     if elastic_slot is not None:
         args["K_slot"] = elastic_slot[0]
     if res_metas is not None and cfg.solver != "ell":
@@ -607,8 +676,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             for h in hier
         ]
 
-    @jax.jit
-    def run(a, resume=None):
+    def _run_impl(a, resume=None):
         g = adf.GeometryDF(
             hi=asm.Geometry(
                 B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
@@ -751,6 +819,7 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
                 else None
             ),
             plastic_cap=plastic_cap,
+            corr_dest=a.get("corr_dest"),
             df_residual_op=(
                 (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1])
                 if res_metas is not None else None
@@ -770,6 +839,55 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta, resume=resume
         )
 
+    if dev_mesh is None:
+        run = jax.jit(_run_impl)
+    else:
+        # shard_map over the whole solve: operator arrays split by row
+        # blocks (shard_specs), everything else replicated.  The dispatch
+        # to local-kernel + all_gather lives in ops/spmv.py (ShardedMeta);
+        # the Newton control flow is replicated, so every device runs the
+        # identical adaptive schedule with no host involvement.
+        from jax import shard_map as _shard_map
+        from jax.sharding import PartitionSpec as SpecP
+
+        from ..solve.newton import LoadSteppingResult
+
+        for k in ("mg_ell", "G_slot", "S_slot"):
+            args[k] = _put_sharded(args[k], shard_specs[k])
+        aspec = {
+            k: shard_specs.get(k, jax.tree.map(lambda _: SpecP(), v))
+            for k, v in args.items()
+        }
+        rp = SpecP()
+        rdf = DF(rp, rp)
+        out_specs = LoadSteppingResult(
+            u=rdf, ep=rdf, zeta_hist=rp, monitor_hist=rdf, n_steps=rp,
+            n_newton_total=rp, zeta=rdf, d_zeta=rdf, n_plastic=rp,
+            n_cg_total=rp, u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=rp,
+        )
+        _plain = jax.jit(
+            _shard_map(
+                lambda a: _run_impl(a, None), mesh=dev_mesh,
+                in_specs=(aspec,), out_specs=out_specs, check_vma=False,
+            )
+        )
+        _resume_cache: dict = {}
+
+        def run(a, resume=None):
+            if resume is None:
+                return _plain(a)
+            key = tuple(sorted(dict(resume).keys()))
+            if key not in _resume_cache:
+                rspec = jax.tree.map(lambda _: SpecP(), dict(resume))
+                _resume_cache[key] = jax.jit(
+                    _shard_map(
+                        _run_impl, mesh=dev_mesh,
+                        in_specs=(aspec, rspec), out_specs=out_specs,
+                        check_vma=False,
+                    )
+                )
+            return _resume_cache[key](a, dict(resume))
+
     if extras is not None:
         # static metadata for out-of-band tooling (tools/scale_profile.py):
         # everything array-valued is already in `args`; these are the
@@ -783,7 +901,11 @@ def build_df32(cfg: TsxTunnelConfig, extras: Optional[dict] = None):
             consts=(shear, bulk, eta, c),
             cg=(cg_tol, cfg.cg_maxiter, cfg.cg_structure),
         )
-    if extras is not None and cfg.solver in ("cg", "mg", "ell"):
+    # dispatch-split helpers assume single-device metas (the ShardedMeta
+    # V-cycle only works under shard_map)
+    if extras is not None and cfg.solver in ("cg", "mg", "ell") and (
+        dev_mesh is None
+    ):
         from ..ops.df32 import df_barrier as _dfb
         from ..ops.df32 import df_mul as _dfm
         from ..solve.cg import block_jacobi_preconditioner, solve_cg
@@ -884,73 +1006,20 @@ def build_df32_chunked(
     """
     import dataclasses
 
+    from ..solve import chunked as _chunked
+
     cfg2 = dataclasses.replace(cfg, max_trips=trips_per_chunk)
     extras: dict = {}
     run, args, mesh = build_df32(cfg2, extras=extras)
-    d_zeta_min = cfg.d_zeta * cfg.d_zeta_min_ratio
-
-    def _carry_of(res):
-        return dict(
-            u=res.u, u_old=res.u_old, u_it=res.u_it, ep=res.ep,
-            zeta_old=res.zeta, d_zeta=res.d_zeta,
-            d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
-            zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
-            nits_total=res.n_newton_total, ncg_total=res.n_cg_total,
-        )
-
-    def _save_ckpt(path, carry):
-        import numpy as _np
-
-        from ..ops.df32 import DF as _DF
-
-        flat = {}
-        for k, v in carry.items():
-            if isinstance(v, _DF):
-                flat[k + "__hi"] = _np.asarray(v.hi)
-                flat[k + "__lo"] = _np.asarray(v.lo)
-            else:
-                flat[k] = _np.asarray(v)
-        _np.savez(str(path) + ".tmp.npz", **flat)
-        import os as _os
-
-        _os.replace(str(path) + ".tmp.npz", str(path))
-
-    def _load_ckpt(path):
-        import numpy as _np
-
-        from ..ops.df32 import DF as _DF
-
-        raw = _np.load(path)
-        carry = {}
-        for k in raw.files:
-            if k.endswith("__hi"):
-                base = k[:-4]
-                carry[base] = _DF(raw[k], raw[base + "__lo"])
-            elif not k.endswith("__lo"):
-                carry[k] = raw[k]
-        return carry
 
     def execute(checkpoint_path=None):
-        """Run the chunked schedule.  With `checkpoint_path`, the carry is
-        written to disk after every chunk and an existing checkpoint is
-        resumed from — so a run interrupted by a device/worker crash (the
-        axon tunnel kills large-mesh runs stochastically) continues from
-        the last completed chunk on the next invocation, even in a fresh
-        process (failure recovery, SURVEY.md §5)."""
-        import os as _os
-
+        """Run the chunked schedule (`solve/chunked.py`).  With
+        `checkpoint_path`, an interrupted run resumes from the last
+        completed chunk, even in a fresh process."""
         import jax as _jax
 
-        resume = None
-        if checkpoint_path is not None and _os.path.exists(checkpoint_path):
-            resume = _load_ckpt(checkpoint_path)
-
-        # every dispatch is synced before the next is enqueued: the axon
-        # tunnel chokes (worker crash) when several long device dispatches
-        # pile up in its queue, even though each runs fine individually
-        if resume is not None:
-            res = run(args, resume)
-        elif split_predictor:
+        initial = None
+        if split_predictor:
             # the elastic predictor runs as its own per-IR-pass dispatches
             # (each a few seconds at level 5) and the stepper starts from
             # a resume carry — no dispatch ever bundles predictor + trips
@@ -965,24 +1034,18 @@ def build_df32_chunked(
                 _jax.block_until_ready(u_hi)
             uit_hi, uit_lo = extras["start_carry"](args, u_hi, u_lo)
             _jax.block_until_ready(uit_hi)
-            resume0 = dict(
+            initial = dict(
                 u_it=_DF(uit_hi, uit_lo),
                 u_old=_DF(-uit_hi, -uit_lo),
             )
-            res = run(args, resume0)
-        else:
-            res = run(args)
-        for _ in range(max_chunks):
-            _jax.block_until_ready(res.u.hi)
-            carry = _carry_of(res)
-            if checkpoint_path is not None:
-                _save_ckpt(checkpoint_path, carry)
-            z = float(res.zeta.hi) + float(res.zeta.lo)
-            dz = float(res.d_zeta.hi) + float(res.d_zeta.lo)
-            if z >= cfg.zeta_max - 1e-12 or dz < d_zeta_min:
-                break
-            res = run(args, carry)
-        return res
+        return _chunked.run_chunked(
+            run, args,
+            zeta_max=cfg.zeta_max,
+            d_zeta_min=cfg.d_zeta * cfg.d_zeta_min_ratio,
+            max_chunks=max_chunks,
+            checkpoint_path=checkpoint_path,
+            initial_resume=initial,
+        )
 
     return execute, mesh
 
@@ -1007,6 +1070,11 @@ def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
     extras: dict = {}
     run, args, mesh = build_df32(cfg, extras=extras)
     res = run(args)
+    return _df32_result(res, extras, cfg, mesh)
+
+
+def _df32_result(res, extras: dict, cfg: TsxTunnelConfig, mesh) -> TsxResult:
+    """Host conversion of a df32 LoadSteppingResult into a TsxResult."""
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
     u = f64(res.u).reshape(-1, 2)
     ep = f64(res.ep)
@@ -1038,6 +1106,31 @@ def _solve_df32(cfg: TsxTunnelConfig) -> TsxResult:
         mesh=mesh,
         n_cg_total=int(res.n_cg_total),
     )
+
+
+def solve_sharded_scale(
+    cfg: Optional[TsxTunnelConfig] = None, n_devices: Optional[int] = None
+) -> TsxResult:
+    """Multi-chip PRODUCTION solve: the fast_scale path under shard_map.
+
+    Unlike `solve_sharded_df32` (matrix-free CG, element-sharded
+    geometry), this shards the operators that make the framework fast at
+    scale: the assembled slot/ELL elastic hierarchy, the fused-sweep
+    V-cycle levels, the transfer operators and the df32 G/S residual
+    operators are row-partitioned over the device mesh
+    (`build_df32(shard_devices=...)`, ops/spmv.py ShardedMeta).  Each
+    device stores and streams only its row slice — the capacity path past
+    the ~3.1 GB single-chip operator footprint at refinement level 5 —
+    and the trajectory matches the single-device `fast_scale` solve.
+    """
+    import jax
+
+    cfg = cfg if cfg is not None else TsxTunnelConfig.fast_scale(1)
+    n = n_devices if n_devices is not None else len(jax.devices())
+    extras: dict = {}
+    run, args, mesh = build_df32(cfg, extras=extras, shard_devices=n)
+    res = run(args)
+    return _df32_result(res, extras, cfg, mesh)
 
 
 def solve_sharded(

@@ -148,6 +148,7 @@ def solve_tsx_ensemble_df32(
     etas: np.ndarray,
     cs: np.ndarray,
     cfg: TsxTunnelConfig = None,
+    shard_devices: Optional[int] = None,
 ) -> EnsembleResult:
     """Batch of f64-grade (double-float) tsx solves over DP parameters.
 
@@ -157,6 +158,17 @@ def solve_tsx_ensemble_df32(
     1e-12/1e-10 f64 stopping behavior — n_b f64-grade solves at f32
     ensemble speed.  Material constants are computed host-side in f64 and
     enter as vmapped DF arguments (`materials_df.consts_host`).
+
+    `shard_devices`: additionally shard the member axis over a 1D device
+    mesh (SURVEY.md §2.4 "64-way ... on v5e-8").  Members are independent,
+    so the program needs no collectives: each device vmaps over its local
+    member slice with the shared geometry replicated, and per-member
+    results concatenate back along the member axis.  Member count is
+    padded to a device multiple with copies of member 0 (trimmed from the
+    result), so each shard's local batch is identical in shape; member
+    results match the single-device vmap ensemble at the f64 floor (~1e-16
+    — batched-factorization rounding varies with local batch size;
+    tests/test_parallel.py::TestEnsembleSharded).
     """
     from ..models import materials_df as mdf
     from ..models.tsx_tunnel import _DATA  # noqa: F401  (package data)
@@ -165,7 +177,7 @@ def solve_tsx_ensemble_df32(
 
     cfg = cfg if cfg is not None else TsxTunnelConfig.fast()
     assert cfg.precision == "df32" and cfg.solver == "dense"
-    key = ("df32", cfg)
+    key = ("df32", cfg, shard_devices)
     etas = np.asarray(etas, np.float64)
     cs = np.asarray(cs, np.float64)
     if key in _RUN_CACHE:
@@ -203,8 +215,7 @@ def solve_tsx_ensemble_df32(
             pinz=jnp.zeros((max(4 * gdf.hi.n_int, 2 * n_nodes),), f32),
         )
 
-        @jax.jit
-        def run(a, consts):
+        def _run_impl(a, consts):
             g = adf.GeometryDF(
                 hi=asm.Geometry(
                     B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
@@ -268,13 +279,50 @@ def solve_tsx_ensemble_df32(
 
             return jax.vmap(one)(consts)
 
+        if shard_devices is None:
+            run = jax.jit(_run_impl)
+        else:
+            # member-axis sharding: shard_map over a 1D device mesh.  The
+            # geometry args are replicated (SpecP()); every consts leaf and
+            # every result leaf carries a leading member axis, so a single
+            # PartitionSpec prefix shards them all.  No collectives appear
+            # in the program — members never communicate.
+            from jax import shard_map as _shard_map
+            from jax.experimental import mesh_utils
+            from jax.sharding import Mesh as DeviceMesh
+            from jax.sharding import PartitionSpec as SpecP
+
+            n_dev = int(shard_devices)
+            devs = jax.devices()
+            assert len(devs) >= n_dev, (len(devs), n_dev)
+            dev_mesh = DeviceMesh(
+                mesh_utils.create_device_mesh((n_dev,), devices=devs[:n_dev]),
+                ("members",),
+            )
+            run = jax.jit(
+                _shard_map(
+                    _run_impl, mesh=dev_mesh,
+                    in_specs=(SpecP(), SpecP("members")),
+                    out_specs=SpecP("members"),
+                    check_vma=False,
+                )
+            )
+
         _RUN_CACHE[key] = (run, args, shear, bulk)
 
+    n_b = etas.shape[0]
+    if shard_devices is not None and n_b % int(shard_devices):
+        # pad to a device multiple with member 0 (trimmed below)
+        pad = int(shard_devices) - n_b % int(shard_devices)
+        etas = np.concatenate([etas, np.repeat(etas[:1], pad)])
+        cs = np.concatenate([cs, np.repeat(cs[:1], pad)])
     consts = mdf.consts_host(shear, bulk, etas, cs)
     res = run(args, consts)
+    if etas.shape[0] != n_b:
+        res = jax.tree.map(lambda x: x[:n_b], res)
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
     return EnsembleResult(
-        u=f64(res.u).reshape(etas.shape[0], -1, 2),
+        u=f64(res.u).reshape(n_b, -1, 2),
         zeta_hist=np.asarray(res.zeta_hist, np.float64),
         monitor_hist=f64(res.monitor_hist),
         n_steps=np.asarray(res.n_steps),

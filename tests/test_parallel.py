@@ -55,6 +55,71 @@ class TestShardMap:
         np.testing.assert_allclose(np.asarray(r3.u), np.asarray(r2.u), atol=1e-14)
 
 
+class TestShardedScale:
+    """Multi-chip PRODUCTION path: the assembled slot/ELL operators, the
+    fused-sweep MG hierarchy, the transfer operators and the df32 G/S
+    residual operators row-partitioned over the device mesh
+    (`build_df32(shard_devices=...)` / `ops.spmv.ShardedMeta`).  Unlike
+    TestShardMap (matrix-free CG on the parity mesh), this is the solver
+    configuration that runs the at-scale benchmarks (VERDICT r2 #1)."""
+
+    def test_full_schedule_matches_single_device(self):
+        """fast_scale(1) (3.5k elements), full 17-step adaptive schedule
+        on 8 devices: bit-identical to the single-device solve (the local
+        kernels are the unchanged single-device kernels on their rows and
+        the gather is exact concatenation)."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            _solve_df32,
+            solve_sharded_scale,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = TsxTunnelConfig.fast_scale(1)
+        r = solve_sharded_scale(cfg, n_devices=8)
+        r1 = _solve_df32(cfg)
+        assert r.n_steps == r1.n_steps == 17
+        assert r.n_newton_total == r1.n_newton_total
+        np.testing.assert_array_equal(
+            np.asarray(r.zeta_hist), np.asarray(r1.zeta_hist)
+        )
+        np.testing.assert_array_equal(np.asarray(r.u), np.asarray(r1.u))
+
+    def test_shard_count_invariance(self):
+        """Row-block padding differs per shard count (3.5k elements over
+        3 vs 5 devices); padded superblocks must stay inert."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            solve_sharded_scale,
+        )
+
+        if len(jax.devices()) < 5:
+            pytest.skip("not enough devices")
+        cfg = TsxTunnelConfig.fast_scale(1, zeta_max=3.0 / 17.0)
+        r3 = solve_sharded_scale(cfg, n_devices=3)
+        r5 = solve_sharded_scale(cfg, n_devices=5)
+        assert r3.n_steps == r5.n_steps >= 3
+        np.testing.assert_array_equal(np.asarray(r3.u), np.asarray(r5.u))
+
+    @pytest.mark.skipif(
+        "FEM_TPU_SLOW" not in __import__("os").environ,
+        reason="level-2 sharded full schedule is slow on the CPU mesh "
+        "(set FEM_TPU_SLOW=1)",
+    )
+    def test_level2_full_schedule(self):
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            _solve_df32,
+            solve_sharded_scale,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = TsxTunnelConfig.fast_scale(2)
+        r = solve_sharded_scale(cfg, n_devices=8)
+        r1 = _solve_df32(cfg)
+        assert r.n_steps == r1.n_steps
+        np.testing.assert_array_equal(np.asarray(r.u), np.asarray(r1.u))
+
+
 class TestEnsemble:
     def test_vmap_matches_individual_solves(self):
         cohesions = np.array([15.0, 18.7])
@@ -78,6 +143,38 @@ class TestEnsemble:
         assert int(ens.n_plastic[0]) >= int(ens.n_plastic[1])
         assert abs(float(ens.monitor_hist[0, 16])) >= abs(
             float(ens.monitor_hist[1, 16])
+        )
+
+
+class TestEnsembleSharded:
+    """Member-axis device sharding (SURVEY §2.4 '64-way ... on v5e-8')."""
+
+    @pytest.mark.parametrize("n_devices", [4, 8])
+    def test_sharded_members_match_vmap_ensemble(self, n_devices):
+        """6 members over 4/8 devices (8 pads with member-0 copies):
+        every member matches the single-device vmap ensemble at the f64
+        floor, with identical adaptive schedules."""
+        from fem_elastoplasticity_tpu.parallel.ensemble import (
+            solve_tsx_ensemble_df32,
+        )
+
+        if len(jax.devices()) < n_devices:
+            pytest.skip("not enough devices")
+        eta, c = material_grid(
+            np.array([15.0, 18.7, 25.0]),
+            np.array([49.0 * np.pi / 180, 45.0 * np.pi / 180]),
+        )
+        e1 = solve_tsx_ensemble_df32(eta, c)
+        es = solve_tsx_ensemble_df32(eta, c, shard_devices=n_devices)
+        assert es.u.shape == e1.u.shape
+        np.testing.assert_array_equal(
+            np.asarray(es.n_steps), np.asarray(e1.n_steps)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(es.zeta_hist), np.asarray(e1.zeta_hist)
+        )
+        np.testing.assert_allclose(
+            np.asarray(es.u), np.asarray(e1.u), rtol=0, atol=1e-14
         )
 
 
