@@ -10,8 +10,19 @@ residual/criterion (`models/footing.py` solver="cg", precision="df32").
 
 Run on TPU:  python -m fem_elastoplasticity_tpu.benchmarks.footing_scale_bench [levels...]
 
-Level sizes (P1): level 1 = 200 elems / 121 nodes, 2 = 800/441,
-3 = 3.2k/1.7k, 4 = 12.8k/6.6k, 5 = 51.2k/26k.
+Level sizes (P1, measured): level 1 = 800 elems / 441 nodes,
+2 = 3.2k/1.7k, 3 = 12.8k/6.6k, 4 = 51.2k/26k, 5 = 204.8k/103k.
+
+Measured walls (TPU v5e, 2026-08-20, df32, warm):
+  level  cg (matrix-free)  assembled full-tangent (assembled_cg=True)
+  1      14.7 s            1.75 s   (8.4x; same 17 steps, limit 16.8362)
+  2      91.7 s (23 st)    6.37 s   (14x; 29 steps, same limit 17.681)
+  3      —                 76.1 s   (134 steps, limit 18.687)
+The step-count spread at level >= 2 is the adaptive controller reacting
+to inexact f32 tangent solves near the limit load; the pressure curve
+and limit pressure agree (cg-vs-assembled limit at level 2: 2e-6 rel).
+Block-Jacobi CG iteration counts (~h^-1 growth, nu = 0.48) are the
+remaining scale bottleneck, not per-iteration cost.
 """
 from __future__ import annotations
 
@@ -30,21 +41,31 @@ def run_footing_scale(
     from ..models.config import FootingConfig
     from ..models.footing import build_df32, _package_df32
 
+    from ..models.footing import build_df32_chunked
+
     results = []
     for level in levels:
         cfg = FootingConfig.fast(
             solver="cg", level=level, cg_maxiter=4000, **cfg_kw
         )
+        # levels >= 2 run the load loop in resume-chunked dispatches
+        # (solve/chunked.py): the axon tunnel aborts single dispatches
+        # running >~1-2 min, and the footing schedule has ~25+ trips
         t0 = time.perf_counter()
-        run, args, mesh = build_df32(cfg)
+        if level >= 2:
+            execute, mesh = build_df32_chunked(cfg, trips_per_chunk=5)
+            runner = lambda: execute()
+        else:
+            run, args, mesh = build_df32(cfg)
+            runner = lambda: run(args)
         setup = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = _package_df32(run(args), mesh)
+        r = _package_df32(runner(), mesh)
         first = time.perf_counter() - t0
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = _package_df32(run(args), mesh)
+            r = _package_df32(runner(), mesh)
             walls.append(time.perf_counter() - t0)
         rec = {
             "level": level,

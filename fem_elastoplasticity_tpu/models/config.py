@@ -149,6 +149,12 @@ class TsxTunnelConfig:
     # dest-position table, ops/spmv.py element_corr_dest) so every CG
     # matvec is a single slot kernel.  Same operator up to f32 rounding.
     corr_mode: str = "gather"
+    # high-order (P2/P4) tangent CG operator: None = auto (currently the
+    # matrix-free path; measured decision pending), True = apply the
+    # tangent as S(d * (G v)) on the f32 heads of the assembled df32
+    # strain/force slot operators (solve/newton.py gs_tangent), False =
+    # matrix-free gather path
+    gs_tangent: bool = None
     # df32 residual operator format: None = auto ("slot" below 100k
     # integration points, "rslot" above: the ragged chunking keeps the
     # slot layout compact at scale — 174+161 MB and 0.50+0.43 ms for
@@ -236,6 +242,10 @@ class TsxTunnelConfig:
         kw.setdefault("solver", "ell")
         kw.setdefault("cg_tol", 1e-5)
         kw.setdefault("cg_maxiter", 200)
+        # static-structure tangent refresh (corr_mode doc): measured
+        # -9% / -12.5% full-solve wall at levels 3 / 4 vs the per-CG-
+        # iteration gather correction, identical trajectories (2026-08-20)
+        kw.setdefault("corr_mode", "scatter")
         # Eisenstat-Walker forcing: -35% CG iterations at an identical
         # trajectory (17/37, monitor to 10 digits, measured level 1);
         # scale-preset only — P4's p-MG tangent needs its 2e-7 floor

@@ -824,6 +824,11 @@ def build_df32(
                 (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1])
                 if res_metas is not None else None
             ),
+            # high-order assembled tangent (config.gs_tangent; None =
+            # auto, currently matrix-free pending TPU measurement)
+            gs_tangent=bool(cfg.gs_tangent)
+            if cfg.gs_tangent is not None
+            else False,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             # Woodbury plastic solves: the tsx plastic set is tiny (3 of
             # ~1k points at level 0), so plastic iterations become MXU

@@ -147,6 +147,7 @@ def build_load_stepper(
     corr_dest=None,
     corr_full: bool = False,
     df_residual_op=None,
+    gs_tangent: bool = False,
     smw_cap: Optional[int] = None,
     smw_fallback: bool = True,
     elastic_factor=None,
@@ -210,6 +211,16 @@ def build_load_stepper(
                   internal force run in the double-float Pallas slot
                   kernel (~1e-14 relative) instead of the serialized
                   matrix-free gather path.  Arrays must be jit arguments.
+      gs_tangent: iterative solvers without an elastic_op — apply the CG
+                  tangent as S(d * (G v)) on the f32 heads of the
+                  assembled df32 strain/force slot operators (K_t v =
+                  B^T w d B v factored through the same fixed G/S
+                  sparsity) instead of the serialized matrix-free
+                  gather path.  The high-order (P2/P4) fast-operator
+                  path: the assembled per-element stiffness loses to
+                  matrix-free there (s_pad ~ 344 at P4), but G/S stream
+                  like any slot operator.  Requires df_residual_op in
+                  the slot/rslot format.
       smw_cap:    dense solver + ("inv", Ki) elastic factor only: plastic
                   Newton solves use the Woodbury identity over a
                   `smw_cap`-sized plastic slot set (MXU matmuls + a tiny
@@ -606,6 +617,28 @@ def build_load_stepper(
                 A_op = lambda v: _spmv.sp_matvec(
                     op_arr, op_meta, v
                 ) + asm.plastic_correction_apply(Bp, wdelta, edp, n_dofs, v)
+        elif gs_tangent and df_residual_op is not None:
+            # assembled G/S tangent (gs_tangent doc): two slot matvecs on
+            # the f32 heads of the residual operators + a per-qp 3x3
+            # apply.  f32-accurate operator — CG is inexact anyway; the
+            # residual/criterion keep their df32 exactness.
+            from ..ops import spmv as _spmv
+
+            Ga, Gm, Sa, Sm = df_residual_op
+            assert isinstance(Gm, _spmv.SlotMeta) and isinstance(
+                Sm, _spmv.SlotMeta
+            ), "gs_tangent needs slot/rslot residual operators"
+            G32 = {k: Ga[k] for k in Ga if not k.startswith("vals")}
+            G32["vals"] = Ga["vals_hi"]
+            S32 = {k: Sa[k] for k in Sa if not k.startswith("vals")}
+            S32["vals"] = Sa["vals_hi"]
+
+            def A_op(v):
+                e = _spmv.sp_matvec(G32, Gm, jnp.asarray(v, jnp.float32))
+                s3 = jnp.einsum(
+                    "abn,bn->an", d, e.reshape(3, geom.n_int)
+                )
+                return _spmv.sp_matvec(S32, Sm, s3.reshape(-1))
         else:
             A_op = lambda v: asm.tangent_matvec(
                 geom, d, v, axis_name=axis_name

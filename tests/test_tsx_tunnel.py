@@ -315,6 +315,19 @@ class TestHigherOrder:
         u0, u1 = np.asarray(r0.u), np.asarray(r1.u)
         assert np.abs(u1 - u0).max() / np.abs(u0).max() < 1e-9
 
+    def test_p2_gs_tangent_matches_matrix_free(self):
+        """gs_tangent (solve/newton.py): the tangent CG operator applied
+        as S(d * (G v)) on the f32 heads of the assembled strain/force
+        slot operators reproduces the matrix-free trajectory (the
+        high-order fast-operator path, VERDICT r2 #9)."""
+        kw = dict(etype=ElementType.P2, solver="ell", zeta_max=2 / 17)
+        r0 = solve(TsxTunnelConfig.fast(**kw))
+        r1 = solve(TsxTunnelConfig.fast(gs_tangent=True, **kw))
+        assert r1.n_steps == r0.n_steps
+        assert r1.n_newton_total == r0.n_newton_total
+        u0, u1 = np.asarray(r0.u), np.asarray(r1.u)
+        assert np.abs(u1 - u0).max() / np.abs(u0).max() < 1e-9
+
     def test_p2_support_pressure(self):
         # the quadratic-edge surface rules compose with the P2 volume
         # discretization too (preset-matrix completeness, ROADMAP r2 #7)
