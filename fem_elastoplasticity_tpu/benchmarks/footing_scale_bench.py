@@ -45,9 +45,9 @@ def run_footing_scale(
 
     results = []
     for level in levels:
-        cfg = FootingConfig.fast(
-            solver="cg", level=level, cg_maxiter=4000, **cfg_kw
-        )
+        kw = dict(solver="cg", cg_maxiter=4000)
+        kw.update(cfg_kw)
+        cfg = FootingConfig.fast(level=level, **kw)
         # levels >= 2 run the load loop in resume-chunked dispatches
         # (solve/chunked.py): the axon tunnel aborts single dispatches
         # running >~1-2 min, and the footing schedule has ~25+ trips

@@ -71,6 +71,9 @@ class FootingConfig:
     # analog: the per-iteration D_p reassembly, P:1047-1050).
     assembled_cg: bool = False
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
+    # Eisenstat-Walker forcing ceiling for iterative tangent solves
+    # (solve/newton.py cg_eta0 doc).  None = fixed cg_tol.
+    cg_eta0: float = None
     # iterative tangent solves (solver="cg"); None resolves dtype-aware:
     # 1e-14 (f64) / 2e-7 (f32 preconditioned-residual floor)
     cg_tol: float = None
@@ -155,6 +158,13 @@ class TsxTunnelConfig:
     # strain/force slot operators (solve/newton.py gs_tangent), False =
     # matrix-free gather path
     gs_tangent: bool = None
+    # df32 elastic-predictor iterative-refinement passes (precision
+    # "df32", iterative solvers): each pass gains the inner PCG solve's
+    # relative accuracy (~cg_tol); 4 reaches the ~1e-14 df floor with
+    # margin.  The predictor is ~40% of the at-scale wall (BENCH_NOTES
+    # round 3), so shaving a pass is a measurable win where the
+    # trajectory tolerates it.
+    predictor_ir_iters: int = 4
     # df32 residual operator format: None = auto ("slot" below 100k
     # integration points, "rslot" above: the ragged chunking keeps the
     # slot layout compact at scale — 174+161 MB and 0.50+0.43 ms for

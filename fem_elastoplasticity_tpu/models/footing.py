@@ -384,6 +384,7 @@ def build_df32(cfg: FootingConfig):
             cg_tol=cg_tol,
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
+            cg_eta0=cfg.cg_eta0,
             apex_ep_uses_trial=cfg.bug_compatible_apex,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             elastic_op=(

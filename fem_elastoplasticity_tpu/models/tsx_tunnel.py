@@ -503,9 +503,13 @@ def build_df32(
         # level >= 4, stressing HBM and the tunnel transfer.
         from ..ops import spmv as _spmv_mod
 
-        _res_fmt = cfg.residual_fmt or (
-            "slot" if gdf.hi.n_int < 100_000 else "rslot"
-        )
+        # auto = ragged slot: _ragged_pack falls back to the dense slot
+        # layout when chunking saves <15% (uniform P1 operators keep the
+        # measured-fastest dense layout), while high-order operators with
+        # outlier slot counts (P4 S: s_pad 1092) get chunked — the dense
+        # P4 kernel blocks exceed the 16 MB scoped-VMEM limit (25.6 MB
+        # measured compile OOM, 2026-08-20)
+        _res_fmt = cfg.residual_fmt or "rslot"
         _Ga, _Gm, _Sa, _Sm = _spmv_mod.build_residual_slot_df(
             gdf, fmt=_res_fmt, max_overflow_frac=cfg.ell_overflow_frac
         )
@@ -688,7 +692,19 @@ def build_df32(
 
         # initial-stress force F0 = B^T (w * s0[:3]) in double-float (T:1737)
         bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
-        f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+        if res_metas is not None and cfg.solver in ("cg", "mg", "ell"):
+            # assembled S operator (same sparsity as the Newton residual)
+            # instead of the serialized matrix-free scatter
+            from ..ops import spmv as _spmv_rt
+
+            s0b = DF(bc(a["s0_hi"]), bc(a["s0_lo"]))
+            f0h, f0l = _spmv_rt.sp_matvec_df(
+                a["S_slot"], res_metas[1],
+                s0b.hi.reshape(-1), s0b.lo.reshape(-1),
+            )
+            f0 = DF(f0h, f0l)
+        else:
+            f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
         rhs = DF(-f0.hi, -f0.lo)
         f_ext = None
         if "f_ext_hi" in a:
@@ -789,7 +805,23 @@ def build_df32(
 
             if resume is None:
                 u_elast = adf.refine_elastic_solve_with(
-                    g, solve_fn, zero_u, rhs, shear, bulk
+                    g, solve_fn, zero_u, rhs, shear, bulk,
+                    iters=cfg.predictor_ir_iters,
+                    # assembled K_el u for the IR residual passes — the
+                    # matrix-free path was ~40% of the L4 full-solve wall
+                    apply_fn=(
+                        (
+                            lambda u: adf.elastic_apply_slot_df(
+                                (
+                                    a["G_slot"], res_metas[0],
+                                    a["S_slot"], res_metas[1],
+                                ),
+                                u, shear, bulk,
+                            )
+                        )
+                        if res_metas is not None
+                        else None
+                    ),
                 )
             else:
                 u_elast = zero_u  # dead: resume supplies the carry
@@ -825,10 +857,16 @@ def build_df32(
                 if res_metas is not None else None
             ),
             # high-order assembled tangent (config.gs_tangent; None =
-            # auto, currently matrix-free pending TPU measurement)
+            # auto: ON for P2/P4 with slot-format residual operators —
+            # measured P4 full schedule 0.619 vs 0.703 s matrix-free,
+            # identical trajectory, 2026-08-20)
             gs_tangent=bool(cfg.gs_tangent)
             if cfg.gs_tangent is not None
-            else False,
+            else (
+                cfg.etype != ElementType.P1
+                and res_metas is not None
+                and isinstance(res_metas[0], _spmv_mod.SlotMeta)
+            ),
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             # Woodbury plastic solves: the tsx plastic set is tiny (3 of
             # ~1k points at level 0), so plastic iterations become MXU
@@ -949,7 +987,24 @@ def build_df32(
             g = _geom(a)
             n_int = g.hi.n_int
             bc = lambda x: jnp.broadcast_to(x[:3, None], (3, n_int))
-            f0 = adf.internal_force_df(g, DF(bc(a["s0_hi"]), bc(a["s0_lo"])))
+            gs_ops = None
+            if res_metas is not None:
+                gs_ops = (
+                    a["G_slot"], res_metas[0], a["S_slot"], res_metas[1]
+                )
+            if gs_ops is not None:
+                from ..ops import spmv as _spmv_p
+
+                s0b = DF(bc(a["s0_hi"]), bc(a["s0_lo"]))
+                f0h, f0l = _spmv_p.sp_matvec_df(
+                    a["S_slot"], res_metas[1],
+                    s0b.hi.reshape(-1), s0b.lo.reshape(-1),
+                )
+                f0 = DF(f0h, f0l)
+            else:
+                f0 = adf.internal_force_df(
+                    g, DF(bc(a["s0_hi"]), bc(a["s0_lo"]))
+                )
             rhs = DF(-f0.hi, -f0.lo)
             if "f_ext_hi" in a:
                 from ..ops.df32 import df_add as _dfa
@@ -960,10 +1015,12 @@ def build_df32(
             u = DF(u_hi, u_lo)
             from ..ops.df32 import df_add as _dfa2
 
-            r = _dfa2(
-                rhs,
-                DF(*map(jnp.negative, adf.elastic_apply_df(g, u, shear, bulk))),
+            ku = (
+                adf.elastic_apply_slot_df(gs_ops, u, shear, bulk)
+                if gs_ops is not None
+                else DF(*adf.elastic_apply_df(g, u, shear, bulk))
             )
+            r = _dfa2(rhs, DF(-ku.hi, -ku.lo))
             if elastic_slot is not None:
                 from ..ops import spmv as _spmv_x
 

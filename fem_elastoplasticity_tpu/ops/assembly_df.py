@@ -254,6 +254,7 @@ def refine_elastic_solve_with(
     shear: float,
     bulk: float,
     iters: int = 4,
+    apply_fn=None,
 ) -> DF:
     """df32-accurate elastic solve: K u = f_ext with a generic inner solver.
 
@@ -262,13 +263,66 @@ def refine_elastic_solve_with(
     subspace, zero on constrained DOFs — a Cholesky back-substitution or a
     PCG solve) and multiplies the residual by the inner solver's relative
     accuracy, so a handful of passes reach the ~1e-14 df32 floor.
+
+    `apply_fn(u: DF) -> DF`: override for the df32 elastic application
+    K_el u.  Default = the matrix-free `elastic_apply_df` (serialized
+    gather path); callers with assembled G/S residual operators pass
+    `elastic_apply_slot_df` instead — the predictor was measured at ~40%
+    of the level-4 full-solve wall on the matrix-free path (BENCH_NOTES
+    round 3).
     """
+    if apply_fn is None:
+        apply_fn = lambda u: DF(*elastic_apply_df(g, u, shear, bulk))
     u = u0
     for _ in range(iters):
-        r = df_add(f_ext, DF(*map(jnp.negative, elastic_apply_df(g, u, shear, bulk))))
+        ku = apply_fn(u)
+        r = df_add(f_ext, DF(-ku.hi, -ku.lo))
         du = solve_fn(r.hi)
         u = df_add(u, DF(du, jnp.zeros_like(du)))
     return u
+
+
+def elastic_stress_df(e: DF, shear: float, bulk: float) -> DF:
+    """df32 plane-strain elastic stress from (3, n_int) strains.
+
+    s = D_el e with D_el = [[dd, oo, 0], [oo, dd, 0], [0, 0, shear]],
+    dd = 4G/3 + K, oo = -2G/3 + K — the same constants the host
+    assembly uses (`ops.spmv.build_ell_elastic`).  All products/sums in
+    compensated df arithmetic so the pair stays f64-grade.
+    """
+    from ..ops.df32 import df_const, df_mul
+
+    dd = df_const(4.0 * shear / 3.0 + bulk)
+    oo = df_const(-2.0 * shear / 3.0 + bulk)
+    sh = df_const(shear)
+    e0 = DF(e.hi[0], e.lo[0])
+    e1 = DF(e.hi[1], e.lo[1])
+    e2 = DF(e.hi[2], e.lo[2])
+    s0 = df_add(df_mul(e0, dd), df_mul(e1, oo))
+    s1 = df_add(df_mul(e0, oo), df_mul(e1, dd))
+    s2 = df_mul(e2, sh)
+    return DF(
+        jnp.stack([s0.hi, s1.hi, s2.hi]), jnp.stack([s0.lo, s1.lo, s2.lo])
+    )
+
+
+def elastic_apply_slot_df(gs_ops, u: DF, shear: float, bulk: float) -> DF:
+    """Assembled df32 elastic application K_el u = S(D_el (G u)).
+
+    gs_ops: (G_arrays, G_meta, S_arrays, S_meta) from
+    `ops.spmv.build_residual_slot_df` — the same fixed-sparsity
+    strain/force operators the Newton residual runs on; replaces the
+    serialized matrix-free gather path in the elastic predictor."""
+    from ..ops import spmv as _spmv
+
+    Ga, Gm, Sa, Sm = gs_ops
+    eh, el = _spmv.sp_matvec_df(Ga, Gm, u.hi, u.lo)
+    n_int = eh.shape[0] // 3
+    s = elastic_stress_df(
+        DF(eh.reshape(3, n_int), el.reshape(3, n_int)), shear, bulk
+    )
+    fh, fl = _spmv.sp_matvec_df(Sa, Sm, s.hi.reshape(-1), s.lo.reshape(-1))
+    return DF(fh, fl)
 
 
 def refine_elastic_solve_df(
