@@ -70,6 +70,16 @@ class FootingConfig:
     # inapplicable at this problem's ~75% plastic fraction; reference
     # analog: the per-iteration D_p reassembly, P:1047-1050).
     assembled_cg: bool = False
+    # solver="cg" + precision="df32" + P1: TRUE tangent multigrid — a
+    # red-refinement hierarchy whose every level is refreshed from the
+    # current consistent tangent once per Newton iteration
+    # (solve/multigrid.py tangent_vcycle).  The scale path past the
+    # block-Jacobi CG iteration blowup at level >= 4 (~h^-1 growth at
+    # nu=0.48; the ELASTIC hierarchy is measured-rejected at ~75%
+    # plastic fraction).  The problem runs on the hierarchy's fine mesh
+    # (same node lattice and triangulation as square_mesh(level), fine-
+    # RCM node ordering).
+    tangent_mg: bool = False
     dense_mode: str = "f64"  # "f64" | "mixed" (f32 Cholesky + f64 refinement)
     # Eisenstat-Walker forcing ceiling for iterative tangent solves
     # (solve/newton.py cg_eta0 doc).  None = fixed cg_tol.
@@ -256,6 +266,11 @@ class TsxTunnelConfig:
         # -9% / -12.5% full-solve wall at levels 3 / 4 vs the per-CG-
         # iteration gather correction, identical trajectories (2026-08-20)
         kw.setdefault("corr_mode", "scatter")
+        # 3 IR passes reach the df floor here (inner MG-PCG at 1e-5):
+        # measured L4 1.914 -> 1.732 s with the identical 17/52/605
+        # trajectory and u40 to 12 digits; 2 passes cost one extra
+        # Newton iteration (2026-08-20)
+        kw.setdefault("predictor_ir_iters", 3)
         # Eisenstat-Walker forcing: -35% CG iterations at an identical
         # trajectory (17/37, monitor to 10 digits, measured level 1);
         # scale-preset only — P4's p-MG tangent needs its 2e-7 floor

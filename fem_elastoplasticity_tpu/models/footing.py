@@ -204,6 +204,52 @@ def build_df32(cfg: FootingConfig):
     ref = volume_element(cfg.etype)
 
     K_slot = None
+    tmg = None
+    if cfg.tangent_mg:
+        # TRUE tangent multigrid (config.tangent_mg): build the elastic
+        # hierarchy once (red refinement of the level-1 mesh, fine-RCM
+        # ordering) + the per-level tangent-refresh extras, and run the
+        # problem on the hierarchy's fine mesh
+        assert cfg.solver == "cg" and not cfg.assembled_cg
+        from ..mesh.structured import Mesh as _Mesh
+        from ..mesh.structured import square_mesh as _square_mesh
+        from ..solve import multigrid as _mgm
+
+        assert cfg.level >= 2, "tangent_mg needs at least one refinement"
+        base = _square_mesh(1, cfg.etype, cfg.size_xy)
+
+        def _free_fn(cc):
+            footing_m = (cc[:, 1] == cfg.size_xy) & (cc[:, 0] <= 1.0001)
+            fr = cc > 0.0
+            fr[footing_m, 1] = False
+            fr[cc[:, 0] == cfg.size_xy, 0] = False
+            return fr
+
+        mg_arr, mg_metas, _perms, mg_coarse = _mgm.build_hierarchy_ell(
+            np.asarray(base.coords, np.float64), np.asarray(base.elems),
+            cfg.level - 1, _free_fn, shear, bulk, ref,
+            fmt="slot", pack_bf16=False, collect_levels=True,
+        )
+        tmg_arrays, tmg_static = _mgm.build_tangent_hierarchy(
+            mg_metas, mg_coarse, ref
+        )
+        fine = mg_coarse["levels"][-1]
+        coords2 = np.asarray(fine["coords"], np.float64)
+        elems2 = np.asarray(fine["elems"])
+        free2 = np.asarray(fine["free"])
+        footing_m = (coords2[:, 1] == cfg.size_xy) & (
+            coords2[:, 0] <= 1.0001
+        )
+        dirichlet2 = np.zeros((coords2.shape[0], 2))
+        dirichlet2[footing_m, 1] = 1.0
+        mesh = _Mesh(
+            coords2, elems2, cfg.etype, dirichlet=dirichlet2, free=free2
+        )
+        tmg = dict(
+            metas=mg_metas, hier=mg_arr,
+            tmg_arrays=tmg_arrays, tmg_static=tmg_static,
+            inv0=mg_coarse["inv0"], free_idx0=mg_coarse["free_idx0"],
+        )
     if cfg.assembled_cg:
         # assembled full-tangent CG (config.assembled_cg): RCM locality
         # ordering, host-assembled elastic slot operator + the scatter
@@ -287,6 +333,11 @@ def build_df32(cfg: FootingConfig):
     if K_slot is not None:
         args["K_slot"] = K_slot[0]
         args["corr_dest"] = _corr_dest
+    if tmg is not None:
+        args["mg_hier"] = tmg["hier"]
+        args["tmg"] = tmg["tmg_arrays"]
+        args["inv0"] = tmg["inv0"]
+        args["free_idx0"] = tmg["free_idx0"]
 
     @jax.jit
     def run(a, resume=None):
@@ -335,17 +386,34 @@ def build_df32(cfg: FootingConfig):
             fmask = (
                 jnp.zeros((2 * n_nodes,), bool).at[a["free_idx"]].set(True)
             )
-            blocks = asm.node_block_diagonal(g.hi, D)
-            pre = block_jacobi_preconditioner(blocks, fmask.reshape(-1, 2))
-
-            if K_slot is not None:
+            if tmg is not None:
+                # elastic predictor: static elastic hierarchy V-cycle +
+                # assembled fine elastic operator
                 from ..ops import spmv as _spmv_rt
+                from ..solve import multigrid as _mgm_rt
 
+                idx0 = a["free_idx0"]
+                coarse0 = lambda r: jnp.zeros_like(r).at[idx0].set(
+                    a["inv0"] @ r[idx0]
+                )
+                vc_el = _mgm_rt.make_vcycle_ell(tmg["metas"], coarse0)
+                pre = lambda r: vc_el(a["mg_hier"], r)
                 K_op = lambda v: _spmv_rt.sp_matvec(
-                    a["K_slot"], K_slot[1], v
+                    a["mg_hier"][-1]["op"], tmg["metas"][-1]["op"], v
                 )
             else:
-                K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
+                blocks = asm.node_block_diagonal(g.hi, D)
+                pre = block_jacobi_preconditioner(
+                    blocks, fmask.reshape(-1, 2)
+                )
+                if K_slot is not None:
+                    from ..ops import spmv as _spmv_rt
+
+                    K_op = lambda v: _spmv_rt.sp_matvec(
+                        a["K_slot"], K_slot[1], v
+                    )
+                else:
+                    K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
 
             def solve_fn(r_hi):
                 return solve_cg(
@@ -392,6 +460,14 @@ def build_df32(cfg: FootingConfig):
             ),
             corr_dest=a.get("corr_dest"),
             corr_full=K_slot is not None,
+            tangent_mg=(
+                dict(
+                    metas=tmg["metas"], arrays=a["mg_hier"],
+                    tmg_arrays=a["tmg"], tmg_static=tmg["tmg_static"],
+                )
+                if tmg is not None
+                else None
+            ),
             precision="df32",
             pin_zeros=a["pinz"],
         )

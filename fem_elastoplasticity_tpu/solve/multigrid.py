@@ -215,6 +215,7 @@ def build_hierarchy_ell(
     fmt: str = "ell",
     pack_bf16="auto",
     order_mode: str = "fine_rcm",
+    collect_levels: bool = False,
 ):
     """Host-side ELL multigrid build: red refinement + locality ordering.
 
@@ -411,6 +412,18 @@ def build_hierarchy_ell(
         arrays.append(entry)
         metas.append(meta)
         perms.append(new_of_old)
+        if collect_levels:
+            # per-level host data for the TANGENT-refresh hierarchy
+            # (build_tangent_hierarchy): permuted mesh, BC'd CSR, free
+            # mask, and the scipy prolongation (Galerkin RAP chain).
+            # Element order per level is the refinement-chain order
+            # (children of chain parent e sit at rows 4e..4e+3).
+            coarse.setdefault("levels", []).append(
+                dict(
+                    coords=c2, elems=e2, K=K, free=free2,
+                    P=(P if l > 0 else None),
+                )
+            )
         prev_new_of_old, prev_n = new_of_old, n_n
     # fine-level coordinates in hierarchy (locality) order — consumers
     # that permute a problem onto this ordering match nodes against it
@@ -423,6 +436,305 @@ def build_hierarchy_ell(
     coarse["fine_K"] = K
     coarse["fine_free"] = free2
     return arrays, metas, perms, coarse
+
+
+def build_tangent_hierarchy(metas, coarse, ref):
+    """Host extras for the per-Newton-iteration TANGENT hierarchy refresh.
+
+    For problems whose plastic zone spans most of the domain (the strip
+    footing at its nu=0.48 limit load: ~75% of points plastic), the
+    ELASTIC hierarchy preconditions the elastoplastic tangent poorly
+    (measured rejection, FootingConfig.solver doc) and block-Jacobi CG
+    iteration counts grow ~h^-1 past the iteration cap at level >= 4.
+    This enables a TRUE tangent V-cycle, refreshed once per Newton
+    iteration (`tangent_vcycle`):
+
+      * the FINE level's slot value stream is rebuilt from the current
+        consistent tangent by the fixed-sparsity scatter
+        (`ops.spmv.element_corr_dest` — the corr_full machinery);
+      * every COARSE level is the GALERKIN (RAP) restriction of the fine
+        tangent: for nested P1 spaces K_c = P^T K_f P is exactly the
+        coarse discretization of the fine coefficient field, its pattern
+        equals the built coarse operator's, and the fine->coarse VALUE
+        map is a STATIC sparse operator — assembled here once per level
+        transition (<= 4 coarse contributions per fine entry through the
+        0.5/1.0 prolongation weights) and applied at runtime as one slot
+        matvec on the value stream (`Mhat`);
+      * smoother block-inverse constants come from static diagonal-cell
+        position tables; the coarsest tangent is densified from its
+        value stream for a per-iteration f32 explicit-inverse solve.
+
+    Requires `build_hierarchy_ell(..., collect_levels=True)`, the dense
+    slot format, and a P1 hierarchy.  Returns (tmg_arrays, tmg_static):
+    a pytree of device arrays for the solver's jit args + static shape
+    info.  The elastic chain reproduces the built hierarchy EXACTLY by
+    construction: base_c := vals_c_elastic - Mhat @ vals_f_elastic is
+    folded into the static offset, so a zero tangent delta yields the
+    measured-validated elastic V-cycle bit-for-bit.  The reference has
+    no analog — its footing driver reassembles the dense tangent on the
+    host each iteration (`Plasticity2D_DP/pythonFEM.py:1047-1050`).
+    """
+    import scipy.sparse as sp
+
+    from ..ops import assembly as asm
+    from ..ops import spmv
+    from ..ops.elements import tables
+
+    levels = coarse["levels"]
+    top = len(levels) - 1
+    tab = tables(ref)
+
+    # fine geometry + scatter-destination table (corr_full machinery)
+    fine = levels[top]
+    g = asm.compute_geometry(
+        jnp.asarray(fine["coords"], jnp.float32),
+        jnp.asarray(np.asarray(fine["elems"]).astype(np.int32)), tab,
+    )
+    assert g.n_q == 1, "tangent hierarchy requires P1 (n_q == 1)"
+    m_top = metas[top]["op"]
+    dest = spmv.element_corr_dest(
+        fine["K"], m_top, np.asarray(fine["elems"]), fine["free"]
+    )
+    n_pad_e = g.n_int // g.n_q
+    if dest.shape[0] < n_pad_e:
+        dest = np.concatenate(
+            [
+                dest,
+                np.full(
+                    (n_pad_e - dest.shape[0],) + dest.shape[1:],
+                    -1, dest.dtype,
+                ),
+            ],
+            axis=0,
+        )
+
+    # per-level slot-cell positions of every CSR entry + value sizes
+    pos, vsize = [], []
+    for l in range(top + 1):
+        m = metas[l]["op"]
+        assert isinstance(m, spmv.SlotMeta) and m.n_ch == 0, (
+            "tangent hierarchy needs the dense slot format"
+        )
+        pos.append(spmv.slot_csr_positions(levels[l]["K"], m))
+        vsize.append(m.n_sb * m.s_pad * 8 * 128)
+
+    def _prow2(P):
+        """Prolongation rows padded to 2 (coarse-dof, weight) entries."""
+        P = P.tocsr()
+        P.sum_duplicates()
+        deg = np.diff(P.indptr)
+        assert deg.max() <= 2
+        n = P.shape[0]
+        pidx = np.zeros((n, 2), np.int64)
+        pw = np.zeros((n, 2), np.float64)
+        r = np.repeat(np.arange(n), deg)
+        k = np.arange(P.nnz) - np.repeat(P.indptr[:-1], deg)
+        pidx[r, k] = P.indices
+        pw[r, k] = P.data
+        return pidx, pw
+
+    arrs = dict(
+        B=g.B, w=g.weight, edofs=g.edofs, edofs_t=g.edofs_t,
+        dest=jnp.asarray(dest),
+        mhat=[], base=[], diag_pos=[],
+    )
+    mhat_metas = []
+    for l in range(top, 0, -1):
+        K_f, K_c = levels[l]["K"], levels[l - 1]["K"]
+        free_c = np.asarray(levels[l - 1]["free"]).reshape(-1)
+        pidx, pw = _prow2(levels[l]["P"])
+        nnz_f = K_f.nnz
+        rows_f = np.repeat(
+            np.arange(K_f.shape[0], dtype=np.int64), np.diff(K_f.indptr)
+        )
+        cols_f = K_f.indices.astype(np.int64)
+        t = np.arange(nnz_f, dtype=np.int64)
+        rM, cM, vM = [], [], []
+        for a3 in range(2):
+            for b3 in range(2):
+                ci = pidx[rows_f, a3]
+                cj = pidx[cols_f, b3]
+                wgt = pw[rows_f, a3] * pw[cols_f, b3]
+                keep = (wgt != 0.0) & free_c[ci] & free_c[cj]
+                kc = spmv.csr_lookup(K_c, ci[keep], cj[keep])
+                assert (kc >= 0).all(), "RAP pattern not in coarse pattern"
+                rM.append(pos[l - 1][kc])
+                cM.append(pos[l][t[keep]])
+                vM.append(wgt[keep])
+        Mhat = sp.coo_matrix(
+            (
+                np.concatenate(vM),
+                (np.concatenate(rM), np.concatenate(cM)),
+            ),
+            shape=(vsize[l - 1], vsize[l]),
+        ).tocsr()
+        Mhat.sum_duplicates()
+        # static elastic offset: vals_c_el - Mhat @ vals_f_el.  Equals
+        # the BC unit diagonals (+ any non-variational boundary terms);
+        # folding the exact numpy difference in makes the elastic chain
+        # reproduce the built hierarchy exactly.
+        vf_el = np.zeros(vsize[l], np.float64)
+        vf_el[pos[l]] = levels[l]["K"].data
+        vc_el = np.zeros(vsize[l - 1], np.float64)
+        vc_el[pos[l - 1]] = levels[l - 1]["K"].data
+        base = (vc_el - Mhat @ vf_el).astype(np.float32)
+        Ma, Mm = spmv.build_sparse(Mhat, np.float32, fmt="slot")
+        arrs["mhat"].append(Ma)
+        arrs["base"].append(spmv._staged_asarray(base))
+        mhat_metas.append(Mm)
+    arrs["mhat"] = arrs["mhat"][::-1]  # index l-1: level l -> l-1 map
+    arrs["base"] = arrs["base"][::-1]
+    mhat_metas = mhat_metas[::-1]
+
+    # diagonal 2x2 block cell positions per level (smoother constants)
+    for l in range(top + 1):
+        n_n = levels[l]["coords"].shape[0]
+        k = np.arange(n_n, dtype=np.int64)
+        dp = np.empty((n_n, 2, 2), np.int64)
+        for a3 in range(2):
+            for b3 in range(2):
+                kk = spmv.csr_lookup(levels[l]["K"], 2 * k + a3, 2 * k + b3)
+                assert (kk >= 0).all()
+                dp[:, a3, b3] = pos[l][kk]
+        arrs["diag_pos"].append(jnp.asarray(dp.astype(np.int32)))
+
+    # coarsest-level dense free-free scatter table
+    K0 = levels[0]["K"]
+    free0 = np.asarray(levels[0]["free"])
+    fmap0_np, n_free0 = asm.free_dof_map(free0)
+    r0 = np.repeat(np.arange(K0.shape[0], dtype=np.int64), np.diff(K0.indptr))
+    c0 = K0.indices.astype(np.int64)
+    ff0 = free0.reshape(-1)[r0] & free0.reshape(-1)[c0]
+    arrs["d0_idx"] = jnp.asarray(
+        (fmap0_np[r0[ff0]] * n_free0 + fmap0_np[c0[ff0]]).astype(np.int32)
+    )
+    arrs["pos0_ff"] = jnp.asarray(pos[0][ff0].astype(np.int32))
+    arrs["free_idx0"] = jnp.asarray(
+        np.nonzero(free0.reshape(-1))[0].astype(np.int32)
+    )
+    static = dict(
+        geom=(g.n_nodes, g.n_q, g.n_real),
+        n_free0=int(n_free0),
+        mhat_metas=tuple(mhat_metas),
+    )
+    return arrs, static
+
+
+def tangent_vcycle(
+    metas,
+    hier_arrays,
+    tmg_arrays,
+    tmg_static,
+    d_fine: jnp.ndarray,
+    shear: float,
+    bulk: float,
+    nu=2,
+    omega: float = 0.7,
+):
+    """Runtime (traced) tangent refresh: -> (A_op, preconditioner).
+
+    Rebuilds the fine slot value stream from the consistent tangent
+    `d_fine` (3, 3, n_int_fine) via the static scatter table, restricts
+    it down the hierarchy with the Galerkin value-map slot matvecs
+    (`build_tangent_hierarchy` Mhat chain), refreshes the fused-sweep
+    block-inverse constants from the static diagonal-cell tables, and
+    densifies the coarsest tangent for an f32 explicit-inverse solve.
+    Runs once per Newton iteration (`solve/newton.py tangent_mg`).
+    """
+    from ..models.materials import elastic_tangent_lanes
+    from ..ops import assembly as asm
+    from ..ops import spmv
+
+    f32 = jnp.float32
+    top = len(metas) - 1
+    n_nodes, n_q, n_real = tmg_static["geom"]
+    g = asm.Geometry(
+        B=tmg_arrays["B"], weight=tmg_arrays["w"],
+        edofs=tmg_arrays["edofs"], edofs_t=tmg_arrays["edofs_t"],
+        n_nodes=n_nodes, n_q=n_q, n_real=n_real,
+    )
+    d_el = elastic_tangent_lanes(shear, bulk, g.n_int, f32)
+    ke = jnp.transpose(asm.element_stiffness(g, d_fine - d_el), (2, 0, 1))
+    vals_f = hier_arrays[top]["op"]["vals"]
+    vals = [None] * (top + 1)
+    vals[top] = (
+        vals_f.reshape(-1)
+        .at[tmg_arrays["dest"].reshape(-1)]
+        .add(ke.reshape(-1).astype(vals_f.dtype), mode="drop")
+    )
+    for l in range(top, 0, -1):
+        vals[l - 1] = (
+            spmv.sp_matvec(
+                tmg_arrays["mhat"][l - 1],
+                tmg_static["mhat_metas"][l - 1],
+                vals[l],
+            )
+            + tmg_arrays["base"][l - 1]
+        )
+    arrays_t = []
+    for l in range(top + 1):
+        m = metas[l]["op"]
+        arr = hier_arrays[l]
+        assert "opk" not in arr, (
+            "bf16-packed smoother streams cannot be tangent-refreshed"
+        )
+        blocks = vals[l][tmg_arrays["diag_pos"][l].reshape(-1)].reshape(
+            -1, 2, 2
+        )
+        free2 = arr["free"].reshape(-1, 2)
+        bmask = free2[:, :, None] & free2[:, None, :]
+        b = jnp.where(bmask, blocks, 0.0)
+        b = b + jnp.eye(2, dtype=f32) * (~free2).astype(f32)[:, :, None]
+        a_, b_, c_, dd_ = b[:, 0, 0], b[:, 0, 1], b[:, 1, 0], b[:, 1, 1]
+        det = a_ * dd_ - b_ * c_
+        i00 = dd_ / det * omega
+        i01 = -b_ / det * omega
+        i10 = -c_ / det * omega
+        i11 = a_ / det * omega
+        rows = m.n_sb * 8
+        n = 2 * free2.shape[0]
+        msf = (
+            jnp.zeros((rows * 128,), f32)
+            .at[:n].set(jnp.stack([i00, i11], 1).reshape(-1))
+            .reshape(rows, 128)
+        )
+        mpr = (
+            jnp.zeros((rows * 128,), f32)
+            .at[:n].set(jnp.stack([i01, i10], 1).reshape(-1))
+            .reshape(rows, 128)
+        )
+        at = dict(arr)
+        at["op"] = dict(arr["op"])
+        at["op"]["vals"] = vals[l].reshape(arr["op"]["vals"].shape)
+        at["msf"], at["mpr"] = msf, mpr
+        # the unfused first pre-sweep (z=0) applies arr["inv"] directly
+        at["inv"] = jnp.stack(
+            [jnp.stack([i00, i01], -1), jnp.stack([i10, i11], -1)], -2
+        )
+        arrays_t.append(at)
+    # coarsest direct solve on the FULL tangent (f32 explicit inverse:
+    # one factorization per Newton iteration; per-V-cycle triangular
+    # back-substitution would be row-serial on TPU)
+    n_free0 = tmg_static["n_free0"]
+    K0 = (
+        jnp.zeros((n_free0 * n_free0,), f32)
+        .at[tmg_arrays["d0_idx"]]
+        .set(vals[0][tmg_arrays["pos0_ff"]])
+        .reshape(n_free0, n_free0)
+    )
+    dsc = jax.lax.rsqrt(jnp.diagonal(K0))
+    Ks = K0 * dsc[:, None] * dsc[None, :]
+    Ki = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(Ks), jnp.eye(n_free0, dtype=f32)
+    )
+    Ki = Ki * dsc[:, None] * dsc[None, :]
+    idx0 = tmg_arrays["free_idx0"]
+    coarse_solve = lambda r: jnp.zeros_like(r).at[idx0].set(Ki @ r[idx0])
+    vc = make_vcycle_ell(metas, coarse_solve, nu=nu)
+    A_op = lambda v: spmv.sp_matvec(
+        arrays_t[top]["op"], metas[top]["op"], v
+    )
+    return A_op, lambda r: vc(arrays_t, r)
 
 
 def shard_hierarchy_ell(arrays, metas, n_shards: int, axis=None):

@@ -146,6 +146,7 @@ def build_load_stepper(
     plastic_cap: Optional[int] = None,
     corr_dest=None,
     corr_full: bool = False,
+    tangent_mg=None,
     df_residual_op=None,
     gs_tangent: bool = False,
     smw_cap: Optional[int] = None,
@@ -205,6 +206,15 @@ def build_load_stepper(
                   limit load — the low-rank correction is inapplicable;
                   reference analog: the per-iteration D_p reassembly,
                   `Plasticity2D_DP/pythonFEM.py:1047-1050`).
+      tangent_mg: optional bundle dict(metas, arrays, tmg_arrays,
+                  tmg_static, nu, omega) — the TRUE tangent multigrid
+                  (`solve/multigrid.py build_tangent_hierarchy` /
+                  `tangent_vcycle`): every hierarchy level's slot
+                  operator is refreshed from the current consistent
+                  tangent once per Newton iteration and the V-cycle
+                  preconditions CG on the assembled fine tangent.
+                  Overrides elastic_op/mg_preconditioner.  For problems
+                  where the elastic hierarchy fails (footing at scale).
       df_residual_op: optional (G_arrays, G_meta, S_arrays, S_meta)
                   assembled strain/force operators for the df32 residual
                   (`ops.spmv.build_residual_slot_df`): strains and the
@@ -556,6 +566,27 @@ def build_load_stepper(
                 dU_free = jax.lax.cond(any_plastic, fresh, reuse)
             dU = jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
             return dU, jnp.asarray(True), jnp.asarray(0)
+        if tangent_mg is not None:
+            # per-iteration tangent hierarchy refresh (tangent_mg doc)
+            from . import multigrid as mgm
+
+            A_op, pre = mgm.tangent_vcycle(
+                tangent_mg["metas"], tangent_mg["arrays"],
+                tangent_mg["tmg_arrays"], tangent_mg["tmg_static"],
+                d, shear, bulk,
+                nu=tangent_mg.get("nu", 2),
+                omega=tangent_mg.get("omega", 0.7),
+            )
+            res = solve_cg(
+                A_op,
+                -f_int,
+                free_mask,
+                precond=pre,
+                tol=cg_tol if eta is None else eta,
+                maxiter=cg_maxiter,
+                structure=cg_structure,
+            )
+            return res.x, res.converged, res.iters
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
         else:

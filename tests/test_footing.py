@@ -236,6 +236,35 @@ class TestFastPath:
         assert int(r2.n_newton_total) == int(full.n_newton_total)
         np.testing.assert_array_equal(f64(r2.u), f64(full.u))
 
+    @pytest.mark.skipif(
+        "FEM_TPU_SLOW" not in __import__("os").environ,
+        reason="tangent-MG footing runs minutes on the CPU mesh "
+        "(set FEM_TPU_SLOW=1)",
+    )
+    def test_tangent_mg_matches_cg_truncated(self):
+        """TRUE tangent multigrid (solve/multigrid.py tangent_vcycle):
+        every hierarchy level Galerkin-refreshed from the consistent
+        tangent per Newton iteration.  The adaptive schedule may
+        fragment differently (capped CG solves read as divergence at
+        different points — the smoother, not the coarse operator, is
+        the nu=0.48 quality limit, BENCH_NOTES), so the check is the
+        physics: the pressure-vs-zeta curve matches the block-Jacobi cg
+        path and CG iteration counts drop ~3x."""
+        kw = dict(solver="cg", level=2, zeta_max=0.2, cg_maxiter=4000)
+        r_cg = solve(FootingConfig.fast(**kw))
+        r_t = solve(FootingConfig.fast(tangent_mg=True, **kw))
+        assert float(np.asarray(r_t.zeta_hist).max()) >= 0.2
+        z_c = np.asarray(r_cg.zeta_hist[1 : r_cg.n_steps + 1])
+        p_c = np.asarray(r_cg.pressure_hist[1 : r_cg.n_steps + 1])
+        z_t = np.asarray(r_t.zeta_hist[1 : r_t.n_steps + 1])
+        p_t = np.asarray(r_t.pressure_hist[1 : r_t.n_steps + 1])
+        p_c_at_t = np.interp(z_t, z_c, p_c)
+        assert np.abs(p_t - p_c_at_t).max() / np.abs(p_c).max() < 2e-3
+        # preconditioner quality: ~3x fewer CG its per Newton iteration
+        per_c = r_cg.n_cg_total / r_cg.n_newton_total
+        per_t = r_t.n_cg_total / r_t.n_newton_total
+        assert per_t < 0.5 * per_c
+
     def test_fast_f32_preset_limit_pressure(self):
         """Pure-f32 path: schedule differs (f32 criterion floor) but the
         bearing-capacity limit matches the f64 run to ~1e-4."""
