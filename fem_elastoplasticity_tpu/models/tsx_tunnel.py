@@ -534,6 +534,9 @@ def build_df32(
             mesh_utils.create_device_mesh((n_dev,), devices=devs[:n_dev]),
             (_spmv_mod.OP_AXIS,),
         )
+        # pre-sharding fine operator meta: the corr_dest table is built
+        # against the unsharded cell layout (see the corr_mode block)
+        fine_op_meta0 = ell["metas"][-1]["op"]
         mg_arr_ell, mg_metas_sh, mg_specs = mgm_sh.shard_hierarchy_ell(
             mg_arr_ell, ell["metas"], n_dev
         )
@@ -592,17 +595,24 @@ def build_df32(
         cfg.solver == "ell"
         and cfg.corr_mode == "scatter"
         and cfg.etype == ElementType.P1
-        and dev_mesh is None
     ):
         # static-structure tangent refresh (config.corr_mode): host-built
         # scatter-destination table from the exact fine-level CSR the slot
         # operator was packed from.  Runtime element order is the esort
         # permutation of the hierarchy's fine mesh — dest rows follow it.
+        # Positions are GLOBAL cells of the unsharded layout; under
+        # shard_devices each device shifts by its row-block offset and
+        # drops out-of-slice entries (solve/newton.py corr_shard_axis).
         from ..ops import spmv as _spmv_mod3
 
         args["corr_dest"] = _spmv_mod3._staged_asarray(
             _spmv_mod3.element_corr_dest(
-                coarse_ell["fine_K"], ell["metas"][-1]["op"],
+                coarse_ell["fine_K"],
+                (
+                    fine_op_meta0
+                    if dev_mesh is not None
+                    else ell["metas"][-1]["op"]
+                ),
                 np.asarray(mesh.elems), coarse_ell["fine_free"],
             )
         )
@@ -852,6 +862,9 @@ def build_df32(
             ),
             plastic_cap=plastic_cap,
             corr_dest=a.get("corr_dest"),
+            corr_shard_axis=(
+                _spmv_mod.OP_AXIS if dev_mesh is not None else None
+            ),
             df_residual_op=(
                 (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1])
                 if res_metas is not None else None

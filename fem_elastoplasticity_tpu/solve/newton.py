@@ -146,6 +146,7 @@ def build_load_stepper(
     plastic_cap: Optional[int] = None,
     corr_dest=None,
     corr_full: bool = False,
+    corr_shard_axis: Optional[str] = None,
     tangent_mg=None,
     df_residual_op=None,
     gs_tangent: bool = False,
@@ -628,9 +629,21 @@ def build_load_stepper(
                     else corr_dest[idx_p // geom.n_q]
                 )
                 vals = op_arr["vals"]
+                didx = dest.reshape(-1)
+                if corr_shard_axis is not None:
+                    # row-sharded operator (ops/spmv.py ShardedMeta):
+                    # `vals` is this device's contiguous row-block slice,
+                    # dest positions are GLOBAL cell indices — shift by
+                    # the shard offset; out-of-slice entries go negative
+                    # or past the end and mode="drop" discards them, so
+                    # each device applies exactly its slice of the
+                    # single-device scatter (bit-identical local values)
+                    didx = didx - jax.lax.axis_index(
+                        corr_shard_axis
+                    ) * vals.size
                 vals_t = (
                     vals.reshape(-1)
-                    .at[dest.reshape(-1)]
+                    .at[didx]
                     .add(
                         corr_vals.reshape(-1).astype(vals.dtype),
                         mode="drop",

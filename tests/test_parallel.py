@@ -75,11 +75,11 @@ class TestShardedScale:
 
         if len(jax.devices()) < 8:
             pytest.skip("not enough devices")
-        # corr_mode="gather": the sharded path applies the plastic
-        # correction as the replicated gather operator (the scatter
-        # refresh is single-device-only), so bit-identity needs the
-        # single-device run on the same path
-        cfg = TsxTunnelConfig.fast_scale(1, corr_mode="gather")
+        # the default scatter tangent refresh runs sharded too: each
+        # device shifts the global dest positions by its row-block
+        # offset and drops out-of-slice entries (newton corr_shard_axis)
+        # — local values equal the single-device slice bit-for-bit
+        cfg = TsxTunnelConfig.fast_scale(1)
         r = solve_sharded_scale(cfg, n_devices=8)
         r1 = _solve_df32(cfg)
         assert r.n_steps == r1.n_steps == 17
@@ -98,9 +98,7 @@ class TestShardedScale:
 
         if len(jax.devices()) < 5:
             pytest.skip("not enough devices")
-        cfg = TsxTunnelConfig.fast_scale(
-            1, zeta_max=3.0 / 17.0, corr_mode="gather"
-        )
+        cfg = TsxTunnelConfig.fast_scale(1, zeta_max=3.0 / 17.0)
         r3 = solve_sharded_scale(cfg, n_devices=3)
         r5 = solve_sharded_scale(cfg, n_devices=5)
         assert r3.n_steps == r5.n_steps >= 3
@@ -119,7 +117,7 @@ class TestShardedScale:
 
         if len(jax.devices()) < 8:
             pytest.skip("not enough devices")
-        cfg = TsxTunnelConfig.fast_scale(2, corr_mode="gather")
+        cfg = TsxTunnelConfig.fast_scale(2)
         r = solve_sharded_scale(cfg, n_devices=8)
         r1 = _solve_df32(cfg)
         assert r.n_steps == r1.n_steps

@@ -11,7 +11,8 @@ Per-iteration cost model printed at the end:
   newton_it ~= return_map_df + G_df + S_df + criterion + corr_gather
                + cg_iters * (op_matvec + corr_apply + vcycle)
 compare against the measured dp_scale wall / total Newton iterations
-(BENCH_NOTES.md: L4 = 6.76 s / 52 its).
+(BENCH_NOTES.md round 3: L4 = 1.91 s total = 0.76 s predictor
++ 1.14 s stepping / 52 Newton its / 605 CG its).
 """
 from __future__ import annotations
 
@@ -387,7 +388,8 @@ def main():
         )
     )
     print(f"\nmodeled per-Newton-iteration: {model_it*1e3:.1f} ms "
-          f"(x52 its = {model_it*52:.2f} s; measured L4 wall 6.76 s)")
+          f"(x52 its = {model_it*52:.2f} s; measured L4 stepping share "
+          f"1.14 s — BENCH_NOTES round 3)")
 
 
 if __name__ == "__main__":
