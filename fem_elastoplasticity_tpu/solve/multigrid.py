@@ -657,9 +657,13 @@ def tangent_vcycle(
     ke = jnp.transpose(asm.element_stiffness(g, d_fine - d_el), (2, 0, 1))
     vals_f = hier_arrays[top]["op"]["vals"]
     vals = [None] * (top + 1)
+    # -1 (dropped) entries routed to a POSITIVE out-of-bounds index:
+    # jnp indexing wraps negatives before the scatter (newton corr note)
+    didx = tmg_arrays["dest"].reshape(-1)
+    didx = jnp.where(didx >= 0, didx, vals_f.size)
     vals[top] = (
         vals_f.reshape(-1)
-        .at[tmg_arrays["dest"].reshape(-1)]
+        .at[didx]
         .add(ke.reshape(-1).astype(vals_f.dtype), mode="drop")
     )
     for l in range(top, 0, -1):

@@ -634,13 +634,19 @@ def build_load_stepper(
                     # row-sharded operator (ops/spmv.py ShardedMeta):
                     # `vals` is this device's contiguous row-block slice,
                     # dest positions are GLOBAL cell indices — shift by
-                    # the shard offset; out-of-slice entries go negative
-                    # or past the end and mode="drop" discards them, so
-                    # each device applies exactly its slice of the
-                    # single-device scatter (bit-identical local values)
+                    # the shard offset so each device applies exactly its
+                    # slice of the single-device scatter (bit-identical
+                    # local values)
                     didx = didx - jax.lax.axis_index(
                         corr_shard_axis
                     ) * vals.size
+                # route negatives (dropped -1 entries; under sharding,
+                # cells of earlier shards) to a POSITIVE out-of-bounds
+                # index: jnp indexing normalizes negative indices by
+                # adding the size (wrap-around) BEFORE the scatter, so a
+                # raw -1 under mode="drop" would silently hit the last
+                # cell instead of dropping
+                didx = jnp.where(didx >= 0, didx, vals.size)
                 vals_t = (
                     vals.reshape(-1)
                     .at[didx]
