@@ -1209,13 +1209,17 @@ def solve_sharded_scale(
 
 
 def solve_sharded(
-    cfg: TsxTunnelConfig = TsxTunnelConfig(), n_devices: Optional[int] = None
+    cfg: TsxTunnelConfig = TsxTunnelConfig(),
+    n_devices: Optional[int] = None,
+    check_constants: bool = False,
 ) -> TsxResult:
     """Multi-chip tsx solve: elements sharded over the device mesh.
 
     The full load-stepped Newton (matrix-free CG) runs under `shard_map`;
     the only collectives are psums of nodal partials.  Produces the same
     trajectory as `solve(solver="cg")` on any device count.
+    `check_constants` lowers the program first and asserts no embedded
+    array constants (`utils.jitsafe` — the axon hardware-safety guard).
     """
     import jax
 
@@ -1268,29 +1272,42 @@ def solve_sharded(
 
     run_sharded = shd.sharded_stepper(dev_mesh, geom, build_fn)
     n_nodes = mesh.n_nodes
+    # geometry arrays are jit ARGUMENTS (axon constant pathology,
+    # CLAUDE.md landmine #1) — their NamedShardings ride through the jit
+    # boundary unchanged
     args = dict(
+        garr=shd.geometry_args(geom),
         fmap=fmap, free_idx=free_idx,
         s0=jnp.asarray(s0, dtype), e0=jnp.asarray(e0, dtype),
     )
 
     @jax.jit
     def run(a):
+        g = asm.Geometry(
+            B=a["garr"]["B"], weight=a["garr"]["weight"],
+            edofs=a["garr"]["edofs"], edofs_t=a["garr"]["edofs_t"],
+            n_nodes=geom.n_nodes, n_q=geom.n_q, n_real=geom.n_real,
+        )
         # elastic predictor: replicated dense solve (small), sharded force
-        D = elastic_tangent_lanes(shear, bulk, geom.n_int, dtype)
-        s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, geom.n_int))
-        f0 = asm.internal_force(geom, s0_field)
-        ke = asm.element_stiffness(geom, D)
-        K_free = asm.assemble_dense_free(ke, geom, a["fmap"], n_free)
+        D = elastic_tangent_lanes(shear, bulk, g.n_int, dtype)
+        s0_field = jnp.broadcast_to(a["s0"][:3, None], (3, g.n_int))
+        f0 = asm.internal_force(g, s0_field)
+        ke = asm.element_stiffness(g, D)
+        K_free = asm.assemble_dense_free(ke, g, a["fmap"], n_free)
         cho = jax.scipy.linalg.cho_factor(K_free)
         u_el_free = jax.scipy.linalg.cho_solve(cho, -f0[a["free_idx"]])
         u_elast = (
             jnp.zeros((2 * n_nodes,), dtype).at[a["free_idx"]].set(u_el_free)
         )
         return run_sharded(
-            cfg.d_zeta * u_elast, 0.0, cfg.d_zeta,
+            a["garr"], cfg.d_zeta * u_elast, 0.0, cfg.d_zeta,
             a["free_idx"], a["fmap"], a["e0"],
         )
 
+    if check_constants:
+        from ..utils.jitsafe import assert_no_embedded_constants
+
+        assert_no_embedded_constants(run, (args,))
     res = run(args)
     return TsxResult(
         u=res.u.reshape(-1, 2),
@@ -1306,7 +1323,9 @@ def solve_sharded(
 
 
 def solve_sharded_df32(
-    cfg: Optional[TsxTunnelConfig] = None, n_devices: Optional[int] = None
+    cfg: Optional[TsxTunnelConfig] = None,
+    n_devices: Optional[int] = None,
+    check_constants: bool = False,
 ) -> TsxResult:
     """Multi-chip df32 tsx solve: the fast path sharded over a device mesh.
 
@@ -1316,13 +1335,9 @@ def solve_sharded_df32(
     combined with the exact compensated all-reduce
     (`ops.df32.df_allreduce` — all-gather + df_add fold; a plain psum of
     hi/lo would break the ~1e-14 floor), so the sharded trajectory
-    matches the single-device df32 cg solve.
-
-    Note: like `solve_sharded`, the geometry arrays enter the jitted
-    program as closure constants — fine on the virtual CPU mesh this is
-    validated on (multi-chip axon TPU is not reachable from this
-    container; on real TPU hardware they must be converted to arguments,
-    CLAUDE.md landmine #1).
+    matches the single-device df32 cg solve.  Every geometry array
+    (sharded and replicated) crosses the jit boundary as an argument
+    (axon constant pathology, CLAUDE.md landmine #1) — hardware-safe.
     """
     import jax
 
@@ -1394,6 +1409,7 @@ def solve_sharded_df32(
         B_hi=gdf_g.hi.B, w_hi=gdf_g.hi.weight,
         edofs=gdf_g.hi.edofs, edofs_t=gdf_g.hi.edofs_t,
         B_lo=gdf_g.B_lo, w_lo=gdf_g.w_lo, gmap=gdf_g.gmap,
+        garr_sh=shd.geometry_args_df(gdf_sh),
         fmap=fmap, free_idx=free_idx,
         s0_hi=jnp.asarray(s0_hi), s0_lo=jnp.asarray(s0_lo),
         e0_hi=jnp.asarray(e0_hi), e0_lo=jnp.asarray(e0_lo),
@@ -1436,10 +1452,14 @@ def solve_sharded_df32(
         )
         d_zeta = df_const(cfg.d_zeta)
         return run_sharded(
-            df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta,
+            a["garr_sh"], df_barrier(df_mul(u_elast, d_zeta)), 0.0, d_zeta,
             a["free_idx"], a["fmap"], a["e0_hi"], a["e0_lo"], a["pinz"],
         )
 
+    if check_constants:
+        from ..utils.jitsafe import assert_no_embedded_constants
+
+        assert_no_embedded_constants(run, (args,))
     res = run(args)
     f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
     return TsxResult(

@@ -72,15 +72,18 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
     """Wrap a load-stepper builder in shard_map over the element axis.
 
     Args:
+      geom: the sharded Geometry (static dims only are read here).
       build_fn: (local_geom, axis_name, *extra) -> run(U_it0, aux0,
                 d_zeta0); typically a closure over
                 `solve.newton.build_load_stepper` with solver="cg".
 
-    Returns run(U_it0, aux0, d_zeta0, *extra) on replicated inputs (the
-    `extra` arrays — free-DOF indices, e0 directions, etc. — must be passed
+    Returns run(garr, U_it0, aux0, d_zeta0, *extra): `garr` is the
+    geometry-array dict (`geometry_args`) and the `extra` arrays are
+    free-DOF indices, e0 directions, etc. — EVERY array must be passed
     here rather than closed over: the axon TPU runtime degrades on
-    programs with embedded array constants).  Plastic-strain state stays
-    sharded across devices for the whole solve.
+    programs with embedded array constants (CLAUDE.md landmine #1).
+    Plastic-strain state stays sharded across devices for the whole
+    solve.
     """
     e3 = P(None, None, ELEM_AXIS)
     e1 = P(ELEM_AXIS)
@@ -104,7 +107,7 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
         u_old=r, u_it=r, d_zeta_old=r, aux=r,
     )
 
-    def run(U_it0, aux0, d_zeta0, *extra):
+    def run(garr, U_it0, aux0, d_zeta0, *extra):
         mapped = shard_map(
             inner,
             mesh=mesh,
@@ -113,11 +116,29 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
             check_vma=False,
         )
         return mapped(
-            geom.B, geom.weight, geom.edofs, geom.edofs_t,
+            garr["B"], garr["weight"], garr["edofs"], garr["edofs_t"],
             U_it0, aux0, d_zeta0, *extra,
         )
 
     return run
+
+
+def geometry_args(geom: asm.Geometry) -> dict:
+    """Geometry arrays as a jit-argument dict (axon constant pathology:
+    sharded geometry must cross jit boundaries as arguments, never as
+    closure constants — `sharded_stepper` run signature)."""
+    return dict(
+        B=geom.B, weight=geom.weight, edofs=geom.edofs,
+        edofs_t=geom.edofs_t,
+    )
+
+
+def geometry_args_df(gdf) -> dict:
+    """Double-float geometry arrays as a jit-argument dict
+    (`sharded_stepper_df` run signature)."""
+    out = geometry_args(gdf.hi)
+    out.update(B_lo=gdf.B_lo, w_lo=gdf.w_lo, gmap=gdf.gmap)
+    return out
 
 
 def sharded_geometry_df(coords, elems, ref: ReferenceElement, mesh: Mesh):
@@ -184,6 +205,10 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
     nodal/scalar pairs replicated, integration-point pairs element-
     sharded.  Nodal force reductions inside the stepper use the exact
     compensated all-reduce (`ops.df32.df_allreduce`).
+
+    Returns run(garr, U_it0, aux0, d_zeta0, *extra): `garr` is the df
+    geometry-array dict (`geometry_args_df`) — passed at call time, not
+    closed over (axon constant pathology, `sharded_stepper` doc).
     """
     from ..ops import assembly_df as adf
     from ..ops.df32 import DF
@@ -217,7 +242,7 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
         u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=r,
     )
 
-    def run(U_it0, aux0, d_zeta0, *extra):
+    def run(garr, U_it0, aux0, d_zeta0, *extra):
         mapped = shard_map(
             inner,
             mesh=mesh,
@@ -227,8 +252,9 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
             check_vma=False,
         )
         return mapped(
-            gdf.hi.B, gdf.hi.weight, gdf.hi.edofs, gdf.hi.edofs_t,
-            gdf.B_lo, gdf.w_lo, gdf.gmap, U_it0, aux0, d_zeta0, *extra,
+            garr["B"], garr["weight"], garr["edofs"], garr["edofs_t"],
+            garr["B_lo"], garr["w_lo"], garr["gmap"],
+            U_it0, aux0, d_zeta0, *extra,
         )
 
     return run

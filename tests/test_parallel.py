@@ -124,6 +124,64 @@ class TestShardedScale:
         np.testing.assert_array_equal(np.asarray(r.u), np.asarray(r1.u))
 
 
+class TestHardwareSafety:
+    """No jitted production program may embed array constants (axon
+    degradation, CLAUDE.md landmine #1) — `utils.jitsafe` guard."""
+
+    def test_guard_detects_embedded_constants(self):
+        import jax.numpy as jnp
+
+        from fem_elastoplasticity_tpu.utils.jitsafe import (
+            assert_no_embedded_constants,
+        )
+
+        big = jnp.arange(1000, dtype=jnp.float32)
+
+        @jax.jit
+        def bad(x):
+            return x + big  # closure constant — the forbidden idiom
+
+        @jax.jit
+        def good(x, t):
+            return x + t
+
+        with pytest.raises(AssertionError):
+            assert_no_embedded_constants(bad, (jnp.ones((1000,)),))
+        assert_no_embedded_constants(good, (jnp.ones((1000,)), big))
+
+    def test_element_sharded_paths_are_constant_free(self):
+        """solve_sharded / solve_sharded_df32 lower without embedded
+        array constants (VERDICT r3 #5: geometry passes through args)."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            solve_sharded_df32,
+        )
+
+        if len(jax.devices()) < 2:
+            pytest.skip("not enough devices")
+        r = solve_sharded(
+            TsxTunnelConfig(zeta_max=2 / 17), n_devices=2,
+            check_constants=True,
+        )
+        assert r.n_steps == 2
+        rd = solve_sharded_df32(
+            TsxTunnelConfig.fast(solver="cg", zeta_max=2 / 17),
+            n_devices=2, check_constants=True,
+        )
+        assert rd.n_steps == 2
+
+    def test_production_df32_program_is_constant_free(self):
+        """The single-device production builder (build_df32, ell solver)
+        lowers without embedded array constants."""
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import build_df32
+        from fem_elastoplasticity_tpu.utils.jitsafe import (
+            assert_no_embedded_constants,
+        )
+
+        cfg = TsxTunnelConfig.fast_scale(1, zeta_max=2 / 17)
+        run, args, _ = build_df32(cfg)
+        assert_no_embedded_constants(run, (args,))
+
+
 class TestEnsemble:
     def test_vmap_matches_individual_solves(self):
         cohesions = np.array([15.0, 18.7])
