@@ -89,6 +89,12 @@ class FootingConfig:
     cg_tol: float = None
     cg_maxiter: int = 2000
     cg_structure: str = "while"  # "while" | "scan" (solve/cg.py docstring)
+    # accept a CAPPED tangent solve that still cut the preconditioned
+    # residual by this factor as an inexact-Newton step instead of
+    # divergence (solve/newton.py cg_cap_relax doc — the round-3 L4
+    # schedule fragmented to 469 steps under strict cap-as-divergence).
+    # None = strict; tangent_mg runs default to 1e-2 (build_df32).
+    cg_cap_relax: float = None
     # Reproduce reference defect #2 (apex plastic strain from trial strain,
     # SURVEY.md §2.3) for bit-level comparison runs:
     bug_compatible_apex: bool = False
@@ -202,6 +208,10 @@ class TsxTunnelConfig:
     # (solve/newton.py cg_eta0 doc): iteration k's CG tolerance is
     # clip(0.1 * crit_{k-1}, cg_tol, cg_eta0).  None = fixed cg_tol.
     cg_eta0: float = None
+    # capped-CG acceptance factor (solve/newton.py cg_cap_relax doc);
+    # None = strict cap-as-divergence (the tsx solves never brush the
+    # cap at the documented settings, so this is a safety valve here)
+    cg_cap_relax: float = None
     dtype: str = "float64"
     # Reproduce reference defect #3-bis (PARITY.md): the tsx reference never
     # applies the plastic-strain update, so Ep_old is re-zeroed each step

@@ -158,6 +158,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             cg_tol=cg_tol,
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
+            cg_cap_relax=cfg.cg_cap_relax,
             elastic_factor=(
                 _elastic_factor(cho, dtype)
                 if cfg.solver == "dense"
@@ -453,6 +454,14 @@ def build_df32(cfg: FootingConfig):
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
             cg_eta0=cfg.cg_eta0,
+            # tangent_mg runs brush the CG cap near the limit load; the
+            # strict policy fragmented the round-3 L4 schedule to 469
+            # steps (config.cg_cap_relax doc)
+            cg_cap_relax=(
+                cfg.cg_cap_relax
+                if cfg.cg_cap_relax is not None
+                else (1e-2 if cfg.tangent_mg else None)
+            ),
             apex_ep_uses_trial=cfg.bug_compatible_apex,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             elastic_op=(

@@ -28,6 +28,10 @@ class CGResult(NamedTuple):
     iters: jnp.ndarray
     residual: jnp.ndarray
     converged: jnp.ndarray  # bool: residual met the tolerance within maxiter
+    # preconditioned-residual reduction factor |r_k|_M / |b|_M — the
+    # capped-solve progress measure (solve/newton.py cg_cap_relax):
+    # 1.0 = no progress, tol = converged exactly at the requested floor
+    rel_residual: jnp.ndarray = jnp.nan
 
 
 def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
@@ -211,4 +215,5 @@ def solve_cg(
         iters=k,
         residual=res * bscale,
         converged=res <= limit,
+        rel_residual=res / jnp.where(bnorm > 0.0, bnorm, 1.0),
     )

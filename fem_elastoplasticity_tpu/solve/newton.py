@@ -137,6 +137,7 @@ def build_load_stepper(
     cg_structure: str = "while",
     cg_eta0: Optional[float] = None,
     cg_eta_safety: float = 0.1,
+    cg_cap_relax: Optional[float] = None,
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
@@ -288,6 +289,20 @@ def build_load_stepper(
                   is evaluated on the dU actually applied, so a loose
                   solve can slow convergence but never fake it.
                   None (default) = fixed cg_tol (prior behavior).
+      cg_cap_relax: iterative solvers — accept a CAPPED tangent solve as
+                  an inexact-Newton step when it still cut the
+                  preconditioned residual by this factor (e.g. 1e-2)
+                  instead of declaring divergence.  The capped dU only
+                  slows Newton (the criterion measures true convergence;
+                  a non-converging sequence still fails via newton_maxit
+                  -> step halving), but a cap-as-divergence policy
+                  FRAGMENTS adaptive schedules when iteration counts
+                  brush the cap: the round-3 footing level-4 run
+                  ballooned to 469 steps / 6.6M CG iterations because
+                  every capped solve halved d_zeta (VERDICT r3 #2).
+                  Solves that made less progress than the factor (incl.
+                  breakdown exits) still read as divergence.  None
+                  (default) = strict cap-as-divergence.
       f_ext_dir:  optional (2*n_n,) external load direction ramped with
                   the load factor: the Newton residual becomes
                   F_int(u) - zeta * f_ext_dir (e.g. a tunnel support
@@ -423,6 +438,14 @@ def build_load_stepper(
         cross = dU @ KU
         q3sq = jnp.maximum(q2sq + 2.0 * cross + q1sq, 0.0)
         return jnp.sqrt(q1sq), jnp.sqrt(q2sq), jnp.sqrt(q3sq)
+
+    def _cg_ok(res):
+        """Capped-solve acceptance (cg_cap_relax doc): converged, or made
+        enough preconditioned-residual progress to count as an
+        inexact-Newton step.  NaN rel_residual compares False."""
+        if cg_cap_relax is None:
+            return res.converged
+        return res.converged | (res.rel_residual <= cg_cap_relax)
 
     def newton_solve(d, f_int, any_plastic, ind_p=None, eta=None):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
@@ -587,7 +610,7 @@ def build_load_stepper(
                 maxiter=cg_maxiter,
                 structure=cg_structure,
             )
-            return res.x, res.converged, res.iters
+            return res.x, _cg_ok(res), res.iters
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
         else:
@@ -716,7 +739,7 @@ def build_load_stepper(
                 c=res.converged, bm=jnp.abs(f_int).max(),
                 xm=jnp.abs(res.x).max(),
             )
-        return res.x, res.converged, res.iters
+        return res.x, _cg_ok(res), res.iters
 
     def inner_newton(U_it, ep, zeta):
         """Semi-smooth Newton at fixed load factor.
