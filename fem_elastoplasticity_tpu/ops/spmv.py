@@ -1431,13 +1431,23 @@ def slot_matvec_df(arrays: dict, meta: SlotMeta, v_hi, v_lo):
 def slot_matvec(arrays: dict, meta: SlotMeta, v: jnp.ndarray) -> jnp.ndarray:
     """K v via the compacted-slot Pallas kernel.  v: flat (n_in,) f32.
 
+    A 2-D `v` is taken as already-padded (rows, 128) blocks whose
+    entries beyond `n_in` are ZERO (the `slot_sweep_b` layout invariant)
+    — the pad copy becomes a contiguous reshape/slice.  Used by the
+    V-cycle transfer operators on the in-layout residual (VERDICT r3 #4).
+
     On non-TPU backends runs in Pallas interpret mode (tests).
     """
     import jax.experimental.pallas as pl
 
-    v2 = jnp.zeros((meta.vrows * 128,), jnp.float32).at[: meta.n_in].set(
-        jnp.asarray(v, jnp.float32)
-    ).reshape(meta.vrows, 128)
+    if v.ndim == 2:
+        flat = v.reshape(-1)
+        assert flat.shape[0] >= meta.vrows * 128, (v.shape, meta.vrows)
+        v2 = flat[: meta.vrows * 128].reshape(meta.vrows, 128)
+    else:
+        v2 = jnp.zeros((meta.vrows * 128,), jnp.float32).at[
+            : meta.n_in
+        ].set(jnp.asarray(v, jnp.float32)).reshape(meta.vrows, 128)
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         if meta.n_ch:
@@ -1681,6 +1691,40 @@ def slot_sweep(
     v2 = jnp.zeros((rows * 128,), jnp.float32).at[: meta.n_in].set(
         jnp.asarray(z, jnp.float32)
     ).reshape(rows, 128)
+    return slot_sweep_b(arrays, meta, aux, v2, r2, update).reshape(-1)[
+        : meta.n2
+    ]
+
+
+def slot_sweep_b(
+    arrays: dict,
+    meta: SlotMeta,
+    aux: dict,
+    z2: jnp.ndarray,
+    r2: jnp.ndarray,
+    update: bool = True,
+) -> jnp.ndarray:
+    """`slot_sweep` in padded-block layout end to end (non-sharded only).
+
+    z2: (n_sb*8, 128) current iterate blocks, r2: same-shape residual
+    blocks (`pad_rhs`).  Returns the updated iterate (or masked residual,
+    update=False) as (n_sb*8, 128) blocks — no flat round-trip.  The
+    V-cycle keeps z/r in this layout through all sweeps of a level
+    (`solve.multigrid.make_vcycle_ell`), eliminating the per-sweep
+    pad/truncate full-vector copies that cost ~0.25 ms of the ~1.9 ms
+    per-CG-iteration wall at the 228k-DOF level (VERDICT r3 #4).
+
+    Invariant: entries of z2 beyond meta.n2 are zero (the masked updates
+    preserve this; `pad_rhs` establishes it).
+    """
+    import jax.experimental.pallas as pl
+
+    assert not isinstance(meta, ShardedMeta), "padded IO is single-device"
+    assert meta.n2 == meta.n_in, "fused sweep needs a square operator"
+    rows = max(meta.vrows, meta.n_sb * 8)
+    assert rows == meta.n_sb * 8, (rows, meta.n_sb)
+    assert z2.shape == (rows, 128), z2.shape
+    v2 = z2
     interpret = jax.default_backend() != "tpu"
     if meta.n_ch:
         vec = pl.BlockSpec((rows, 128), lambda c, sb: (0, 0))
@@ -1697,7 +1741,7 @@ def slot_sweep(
                 arrays["vals"], v2, r2, aux["mask"], aux["msf"],
                 aux["mpr"],
             )
-        return out.reshape(-1)[: meta.n2]
+        return out
     blk = pl.BlockSpec((8, 128), lambda b: (b, 0))
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -1720,7 +1764,7 @@ def slot_sweep(
             arrays["srow"], arrays["cidx"], arrays["vals"], v2,
             r2, aux["mask"], aux["msf"], aux["mpr"],
         )
-    return out.reshape(-1)[: meta.n2]
+    return out
 
 
 def pad_rhs(r: jnp.ndarray, meta) -> jnp.ndarray:

@@ -857,11 +857,46 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
                 z = z + jnp.where(arr["free"], dz, 0.0)
         return z
 
+    def _padded_io(arr, meta):
+        # padded-block-layout cycle body (VERDICT r3 #4): single-device
+        # dense/ragged slot levels only — the sharded sweep round-trips
+        # through the replicated flat iterate, and the bf16-packed kernel
+        # keeps the flat entry point
+        m = meta["op"]
+        return (
+            _fused(arr, meta)
+            and not isinstance(m, spmv.ShardedMeta)
+            and "opk" not in arr
+        )
+
     def vcycle(arrays, li, r):
         arr, meta = arrays[li], metas[li]
         r = jnp.where(arr["free"], r, 0.0)
         if li == 0:
             return jnp.where(arr["free"], coarse_solve(r), 0.0)
+        if _padded_io(arr, meta):
+            # z and r stay in the kernels' (n_sb*8, 128) block layout
+            # through every sweep of this level — the per-sweep
+            # pad/truncate full-vector copies disappear (spmv.slot_sweep_b)
+            m = meta["op"]
+            r2 = spmv.pad_rhs(r, m)
+            # first pre-sweep from z=0: the damped block inverse applied
+            # to r directly (no matvec), lane-aligned like the kernel
+            sw = jax.lax.broadcasted_iota(jnp.int32, r2.shape, 1) ^ 1
+            z2 = (
+                arr["msf"] * r2
+                + arr["mpr"] * jnp.take_along_axis(r2, sw, axis=1)
+            ) * arr["mask"]
+            for _ in range(nu_pre - 1):
+                z2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2)
+            res2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2, update=False)
+            r_c = spmv.sp_matvec(arr["R"], meta["R"], res2)
+            z_c = vcycle(arrays, li - 1, r_c)
+            zp = spmv.sp_matvec(arr["P"], meta["P"], z_c)
+            z2 = z2 + spmv.pad_rhs(jnp.where(arr["free"], zp, 0.0), m)
+            for _ in range(nu_post):
+                z2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2)
+            return z2.reshape(-1)[: m.n2]
         r2 = spmv.pad_rhs(r, meta["op"]) if _fused(arr, meta) else None
         z = smooth(
             arr, meta, jnp.zeros_like(r), r, r2, z_is_zero=True,
