@@ -269,11 +269,15 @@ def _measure() -> None:
                 "value": wall,
                 "unit": "s",
                 "vs_baseline": BASELINE_WALL_S / wall,
+                # the TRACKED round-over-round number: the single-dispatch
+                # wall is ~80% tunnel RTT (dispatch_floor_s), so wall
+                # deltas at this size are mostly infrastructure noise —
+                # compare device_time_est_s instead (VERDICT r3 #9)
+                "device_time_est_s": max(wall - floor, 0.0),
                 "precision": "df32_fast_path",
                 "rel_err_vs_f64_trajectory": rel_err,
                 "walls_s": walls,
                 "dispatch_floor_s": floor,
-                "device_time_est_s": max(wall - floor, 0.0),
                 "gdof_per_s_matvec_l4": gdof_s,
                 "hbm_utilization_matvec_l4": hbm_frac,
                 "gdof_per_s_assembled_matvec_l4": ell_gdof_s,

@@ -216,31 +216,6 @@ def internal_force_df(g: GeometryDF, s3: DF, axis_name=None) -> DF:
     return out
 
 
-def elastic_stress_df(e: DF, shear: float, bulk: float) -> DF:
-    """Plane-strain elastic stress (3, n) in double-float.
-
-    s = 2G dev3(e) + K tr(e) iota3, component-wise (cf.
-    `solve.newton.elastic_stress`).
-    """
-    like = e.hi[0]
-    tr = df_add(DF(e.hi[0], e.lo[0]), DF(e.hi[1], e.lo[1]))
-    third = df_mul(tr, df_const(1.0 / 3.0, like=like))
-    two_g = df_const(2.0 * shear, like=like)
-    k_ = df_const(bulk, like=like)
-    ktr = df_mul(k_, tr)
-
-    def comp(i):
-        dev = df_add(DF(e.hi[i], e.lo[i]), DF(-third.hi, -third.lo))
-        return df_add(df_mul(two_g, dev), ktr)
-
-    c0, c1 = comp(0), comp(1)
-    c2 = df_mul(df_const(shear, like=like), DF(e.hi[2], e.lo[2]))
-    return DF(
-        jnp.stack([c0.hi, c1.hi, c2.hi], axis=0),
-        jnp.stack([c0.lo, c1.lo, c2.lo], axis=0),
-    )
-
-
 def elastic_apply_df(g: GeometryDF, u: DF, shear: float, bulk: float) -> DF:
     """K_elast u in double-float (setup-time iterative refinement helper)."""
     return internal_force_df(g, elastic_stress_df(strains_df(g, u), shear, bulk))

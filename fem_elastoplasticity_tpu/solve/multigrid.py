@@ -881,12 +881,11 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
             m = meta["op"]
             r2 = spmv.pad_rhs(r, m)
             # first pre-sweep from z=0: the damped block inverse applied
-            # to r directly (no matvec), lane-aligned like the kernel
-            sw = jax.lax.broadcasted_iota(jnp.int32, r2.shape, 1) ^ 1
-            z2 = (
-                arr["msf"] * r2
-                + arr["mpr"] * jnp.take_along_axis(r2, sw, axis=1)
-            ) * arr["mask"]
+            # to r directly (no matvec).  Partner-lane swap (lane^1) as a
+            # tiny-axis reverse — take_along_axis would lower to a
+            # serialized XLA gather here
+            r2_sw = r2.reshape(-1, 64, 2)[..., ::-1].reshape(r2.shape)
+            z2 = (arr["msf"] * r2 + arr["mpr"] * r2_sw) * arr["mask"]
             for _ in range(nu_pre - 1):
                 z2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2)
             res2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2, update=False)
