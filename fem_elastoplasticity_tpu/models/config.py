@@ -95,6 +95,10 @@ class FootingConfig:
     # schedule fragmented to 469 steps under strict cap-as-divergence).
     # None = strict; tangent_mg runs default to 1e-2 (build_df32).
     cg_cap_relax: float = None
+    # df32 residual operator format for the scale paths (tangent_mg /
+    # assembled_cg): None = "rslot" (ragged compacted-slot, falls back
+    # to dense slot when chunking saves <15% — TsxTunnelConfig doc)
+    residual_fmt: str = None
     # Reproduce reference defect #2 (apex plastic strain from trial strain,
     # SURVEY.md §2.3) for bit-level comparison runs:
     bug_compatible_apex: bool = False

@@ -283,6 +283,20 @@ def build_df32(cfg: FootingConfig):
     free_idx = jnp.asarray(np.nonzero(mesh.free.reshape(-1))[0])
     fmap = jnp.asarray(fmap_np)
     gdf = adf.geometry_df(mesh.coords, mesh.elems, ref)
+    res_metas = None
+    if cfg.solver == "cg" and (tmg is not None or K_slot is not None):
+        # assembled df32 strain/force operators for the Newton residual
+        # (ops/spmv.py build_residual_slot_df) — the scale paths run on a
+        # locality-ordered mesh (hierarchy chain / RCM), so the slot
+        # blocks stay compact; the matrix-free df32 gather path was ~40%
+        # of the tsx at-scale wall (BENCH_NOTES round 3) and the footing
+        # had still been paying it
+        from ..ops import spmv as _spmv_res
+
+        _Ga, _Gm, _Sa, _Sm = _spmv_res.build_residual_slot_df(
+            gdf, fmt=cfg.residual_fmt or "rslot"
+        )
+        res_metas = (_Gm, _Sm)
     if K_slot is not None:
         # the runtime geometry pads elements to a lane multiple; padded
         # slots have zero B/weight (zero stiffness entries), dest -1
@@ -334,6 +348,8 @@ def build_df32(cfg: FootingConfig):
     if K_slot is not None:
         args["K_slot"] = K_slot[0]
         args["corr_dest"] = _corr_dest
+    if res_metas is not None:
+        args["G_slot"], args["S_slot"] = _Ga, _Sa
     if tmg is not None:
         args["mg_hier"] = tmg["hier"]
         args["tmg"] = tmg["tmg_arrays"]
@@ -424,7 +440,22 @@ def build_df32(cfg: FootingConfig):
                 ).x
 
             U_it0 = adf.refine_elastic_solve_with(
-                g, solve_fn, ud, zero_f, shear, bulk
+                g, solve_fn, ud, zero_f, shear, bulk,
+                # assembled K_el u for the IR residual passes when the
+                # G/S slot operators exist (mirrors tsx build_df32)
+                apply_fn=(
+                    (
+                        lambda u: adf.elastic_apply_slot_df(
+                            (
+                                a["G_slot"], res_metas[0],
+                                a["S_slot"], res_metas[1],
+                            ),
+                            u, shear, bulk,
+                        )
+                    )
+                    if res_metas is not None
+                    else None
+                ),
             )
 
         def monitor(u, s):
@@ -469,6 +500,11 @@ def build_df32(cfg: FootingConfig):
             ),
             corr_dest=a.get("corr_dest"),
             corr_full=K_slot is not None,
+            df_residual_op=(
+                (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1])
+                if res_metas is not None
+                else None
+            ),
             tangent_mg=(
                 dict(
                     metas=tmg["metas"], arrays=a["mg_hier"],

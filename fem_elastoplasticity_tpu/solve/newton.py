@@ -610,6 +610,14 @@ def build_load_stepper(
                 maxiter=cg_maxiter,
                 structure=cg_structure,
             )
+            import os
+
+            if os.environ.get("FEM_TPU_DEBUG_CG"):
+                jax.debug.print(
+                    "cg-tmg: iters={it} rel={rel} conv={c} eta={e}",
+                    it=res.iters, rel=res.rel_residual, c=res.converged,
+                    e=cg_tol if eta is None else eta,
+                )
             return res.x, _cg_ok(res), res.iters
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
