@@ -799,6 +799,22 @@ def build_df32(
                 K_op = lambda v: _spmv_mod2.sp_matvec(
                     a["K_slot"], elastic_slot[1], v
                 )
+            elif cfg.solver == "ell" and cfg.etype == ElementType.P1:
+                # assembled fine hierarchy operator — the matrix-free
+                # fallback made every predictor PCG iteration ~20 ms at
+                # level 4 (elastic_apply_gs32 doc)
+                from ..ops import spmv as _spmv_mod2
+
+                K_op = lambda v: _spmv_mod2.sp_matvec(
+                    a["mg_ell"][-1]["op"], ell["metas"][-1]["op"], v
+                )
+            elif res_metas is not None:
+                # high-order (p-MG) / assembled-residual configs: f32
+                # elastic operator through the G/S heads
+                K_op = lambda v: adf.elastic_apply_gs32(
+                    (a["G_slot"], res_metas[0], a["S_slot"], res_metas[1]),
+                    v, shear, bulk,
+                )
             else:
                 K_op = lambda v: asm.tangent_matvec(g.hi, D, v)
 
@@ -1040,6 +1056,16 @@ def build_df32(
 
                 K_op = lambda v: _spmv_x.sp_matvec(
                     a["K_slot"], elastic_slot[1], v
+                )
+            elif cfg.solver == "ell" and cfg.etype == ElementType.P1:
+                from ..ops import spmv as _spmv_x
+
+                K_op = lambda v: _spmv_x.sp_matvec(
+                    a["mg_ell"][-1]["op"], ell["metas"][-1]["op"], v
+                )
+            elif res_metas is not None:
+                K_op = lambda v: adf.elastic_apply_gs32(
+                    gs_ops, v, shear, bulk
                 )
             else:
                 K_op = lambda v: asm.tangent_matvec(g.hi, D, v)

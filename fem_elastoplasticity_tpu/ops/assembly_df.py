@@ -300,6 +300,34 @@ def elastic_apply_slot_df(gs_ops, u: DF, shear: float, bulk: float) -> DF:
     return DF(fh, fl)
 
 
+def elastic_apply_gs32(gs_ops, v: jnp.ndarray, shear: float, bulk: float):
+    """f32 elastic application K_el v = S(D_el (G v)) on the G/S heads.
+
+    The inner-CG OPERATOR counterpart of `elastic_apply_slot_df`: plain
+    f32 on the hi value streams — inner-solve operator accuracy is
+    irrelevant (iterative refinement measures the df32 residual), but
+    the matrix-free `tangent_matvec` it replaces ran at 0.0116 GDOF/s
+    (serialized XLA gather) and made every predictor PCG iteration ~20
+    ms at the 228k-DOF level (measured 2026-08-21 — the 'predictor is
+    40% of the wall' mystery)."""
+    from ..ops import spmv as _spmv
+
+    Ga, Gm, Sa, Sm = gs_ops
+    G32 = {k: Ga[k] for k in Ga if not k.startswith("vals")}
+    G32["vals"] = Ga["vals_hi"]
+    S32 = {k: Sa[k] for k in Sa if not k.startswith("vals")}
+    S32["vals"] = Sa["vals_hi"]
+    e = _spmv.sp_matvec(G32, Gm, jnp.asarray(v, jnp.float32))
+    n_int = e.shape[0] // 3
+    e = e.reshape(3, n_int)
+    dd = 4.0 * shear / 3.0 + bulk
+    oo = -2.0 * shear / 3.0 + bulk
+    s = jnp.stack(
+        [dd * e[0] + oo * e[1], oo * e[0] + dd * e[1], shear * e[2]]
+    )
+    return _spmv.sp_matvec(S32, Sm, s.reshape(-1))
+
+
 def refine_elastic_solve_df(
     g: GeometryDF,
     cho,
