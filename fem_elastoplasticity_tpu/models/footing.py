@@ -181,14 +181,24 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
     )
 
 
-def build_df32(cfg: FootingConfig):
+def build_df32(cfg: FootingConfig, shard_devices=None):
     """Build the jitted df32 footing solver: returns (run, args, mesh).
 
     Mirrors `models.tsx_tunnel.build_df32`; the footing's inhomogeneous
     Dirichlet load rides the df32 state (the warm-start extrapolation sets
     the constrained DOFs exactly since they are linear in zeta).
     `run(a, resume=None)` supports the stepper's exact resume carry
-    (chunked/checkpointed execution, `build_df32_chunked`)."""
+    (chunked/checkpointed execution, `build_df32_chunked`).
+
+    `shard_devices` (tangent_mg only): run the footing's PRODUCTION
+    scale solver multi-chip — the elastic hierarchy, the transfer
+    operators and the df32 G/S residual operators are row-partitioned
+    over a 1D device mesh and the whole adaptive solve executes under
+    `shard_map` (`ops.spmv.ShardedMeta`).  The per-Newton-iteration
+    tangent refresh runs replicated and each device slices its
+    superblock range (`solve.multigrid.tangent_vcycle` sharded doc), so
+    the trajectory is bit-identical to the single-device tangent-MG
+    solve (tests/test_parallel.py)."""
     import jax
 
     from ..ops import assembly as asm
@@ -293,10 +303,63 @@ def build_df32(cfg: FootingConfig):
         # had still been paying it
         from ..ops import spmv as _spmv_res
 
+        # P1 defaults to the dense slot layout: same format single- and
+        # multi-chip (row sharding needs it), so the sharded trajectory
+        # stays BIT-identical; higher orders keep the ragged auto layout
+        _res_fmt = cfg.residual_fmt or (
+            "slot" if gdf.hi.n_q == 1 else "rslot"
+        )
         _Ga, _Gm, _Sa, _Sm = _spmv_res.build_residual_slot_df(
-            gdf, fmt=cfg.residual_fmt or "rslot"
+            gdf, fmt=_res_fmt
         )
         res_metas = (_Gm, _Sm)
+    dev_mesh = None
+    if shard_devices is not None:
+        # multi-chip production path (docstring): row-shard the hierarchy
+        # and the df32 residual operators, keep a replicated fine elastic
+        # stream for the tangent refresh, build the shard_map spec trees
+        assert tmg is not None, "shard_devices requires tangent_mg"
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh as DeviceMesh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as SpecP
+
+        from ..ops import spmv as _spmv_sh
+        from ..solve import multigrid as _mgm_sh
+
+        n_dev = int(shard_devices)
+        devs = jax.devices()
+        assert len(devs) >= n_dev, (len(devs), n_dev)
+        dev_mesh = DeviceMesh(
+            mesh_utils.create_device_mesh((n_dev,), devices=devs[:n_dev]),
+            (_spmv_sh.OP_AXIS,),
+        )
+        tmg["tmg_arrays"] = dict(
+            tmg["tmg_arrays"],
+            vals_fine_el=tmg["hier"][-1]["op"]["vals"],
+        )
+        if getattr(_Gm, "n_ch", 0) or getattr(_Sm, "n_ch", 0):
+            # row sharding needs the dense slot layout; uniform-P1
+            # operators normally fall back to it anyway (rslot doc)
+            from ..ops import spmv as _spmv_res2
+
+            _Ga, _Gm, _Sa, _Sm = _spmv_res2.build_residual_slot_df(
+                gdf, fmt="slot"
+            )
+        hier_sh, metas_sh, mg_specs = _mgm_sh.shard_hierarchy_ell(
+            tmg["hier"], tmg["metas"], n_dev
+        )
+        tmg["hier"], tmg["metas"] = hier_sh, metas_sh
+        _Ga, _Gm, g_specs = _spmv_sh.shard_rows(_Ga, _Gm, n_dev)
+        _Sa, _Sm, s_specs = _spmv_sh.shard_rows(_Sa, _Sm, n_dev)
+        res_metas = (_Gm, _Sm)
+        shard_specs = dict(mg_hier=mg_specs, G_slot=g_specs, S_slot=s_specs)
+
+        def _put_sharded(tree, spec_tree):
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(dev_mesh, s)),
+                tree, spec_tree,
+            )
     if K_slot is not None:
         # the runtime geometry pads elements to a lane multiple; padded
         # slots have zero B/weight (zero stiffness entries), dest -1
@@ -356,8 +419,7 @@ def build_df32(cfg: FootingConfig):
         args["inv0"] = tmg["inv0"]
         args["free_idx0"] = tmg["free_idx0"]
 
-    @jax.jit
-    def run(a, resume=None):
+    def _run_impl(a, resume=None):
         g = adf.GeometryDF(
             hi=asm.Geometry(
                 B=a["B_hi"], weight=a["w_hi"], edofs=a["edofs"],
@@ -519,6 +581,52 @@ def build_df32(cfg: FootingConfig):
         return stepper(
             df_pin(U_it0, a["pinz"]), 0.0, d_zeta, resume=resume
         )
+
+    if dev_mesh is None:
+        run = jax.jit(_run_impl)
+    else:
+        # shard_map over the whole solve (mirrors tsx build_df32):
+        # operator arrays split by row blocks, everything else replicated
+        from jax import shard_map as _shard_map
+        from jax.sharding import PartitionSpec as SpecP
+
+        from ..solve.newton import LoadSteppingResult
+
+        for k in ("mg_hier", "G_slot", "S_slot"):
+            args[k] = _put_sharded(args[k], shard_specs[k])
+        aspec = {
+            k: shard_specs.get(k, jax.tree.map(lambda _: SpecP(), v))
+            for k, v in args.items()
+        }
+        rp = SpecP()
+        rdf = DF(rp, rp)
+        out_specs = LoadSteppingResult(
+            u=rdf, ep=rdf, zeta_hist=rp, monitor_hist=rdf, n_steps=rp,
+            n_newton_total=rp, zeta=rdf, d_zeta=rdf, n_plastic=rp,
+            n_cg_total=rp, u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=rp,
+        )
+        _plain = jax.jit(
+            _shard_map(
+                lambda a: _run_impl(a, None), mesh=dev_mesh,
+                in_specs=(aspec,), out_specs=out_specs, check_vma=False,
+            )
+        )
+        _resume_cache: dict = {}
+
+        def run(a, resume=None):
+            if resume is None:
+                return _plain(a)
+            key = tuple(sorted(dict(resume).keys()))
+            if key not in _resume_cache:
+                rspec = jax.tree.map(lambda _: SpecP(), dict(resume))
+                _resume_cache[key] = jax.jit(
+                    _shard_map(
+                        _run_impl, mesh=dev_mesh,
+                        in_specs=(aspec, rspec), out_specs=out_specs,
+                        check_vma=False,
+                    )
+                )
+            return _resume_cache[key](a, dict(resume))
 
     return run, args, mesh
 

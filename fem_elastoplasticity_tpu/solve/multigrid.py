@@ -640,6 +640,20 @@ def tangent_vcycle(
     block-inverse constants from the static diagonal-cell tables, and
     densifies the coarsest tangent for an f32 explicit-inverse solve.
     Runs once per Newton iteration (`solve/newton.py tangent_mg`).
+
+    Row-sharded hierarchies (metas wrap `ops.spmv.ShardedMeta`, under
+    shard_map): the REFRESH math runs replicated — the full per-level
+    value streams are computed identically on every device (the
+    geometry, tangent and Mhat maps are replicated; `tmg_arrays` must
+    carry a replicated `vals_fine_el` copy of the fine elastic stream,
+    since the hierarchy's own vals are per-shard slices) — and each
+    device then slices ITS contiguous superblock range for the sharded
+    V-cycle kernels.  Kernel inputs are bit-identical to the
+    single-device refresh on their rows, so the trajectory matches
+    exactly.  The capacity win at scale is the static hierarchy +
+    transfer operators (the dominant memory); the transient full
+    refresh streams are replicated — an acceptable v1 trade, noted in
+    ROADMAP.
     """
     from ..models.materials import elastic_tangent_lanes
     from ..ops import assembly as asm
@@ -647,6 +661,7 @@ def tangent_vcycle(
 
     f32 = jnp.float32
     top = len(metas) - 1
+    sharded = isinstance(metas[top]["op"], spmv.ShardedMeta)
     n_nodes, n_q, n_real = tmg_static["geom"]
     g = asm.Geometry(
         B=tmg_arrays["B"], weight=tmg_arrays["w"],
@@ -655,16 +670,18 @@ def tangent_vcycle(
     )
     d_el = elastic_tangent_lanes(shear, bulk, g.n_int, f32)
     ke = jnp.transpose(asm.element_stiffness(g, d_fine - d_el), (2, 0, 1))
-    vals_f = hier_arrays[top]["op"]["vals"]
+    vals_f = (
+        tmg_arrays["vals_fine_el"].reshape(-1)
+        if sharded
+        else hier_arrays[top]["op"]["vals"].reshape(-1)
+    )
     vals = [None] * (top + 1)
     # -1 (dropped) entries routed to a POSITIVE out-of-bounds index:
     # jnp indexing wraps negatives before the scatter (newton corr note)
     didx = tmg_arrays["dest"].reshape(-1)
     didx = jnp.where(didx >= 0, didx, vals_f.size)
-    vals[top] = (
-        vals_f.reshape(-1)
-        .at[didx]
-        .add(ke.reshape(-1).astype(vals_f.dtype), mode="drop")
+    vals[top] = vals_f.at[didx].add(
+        ke.reshape(-1).astype(vals_f.dtype), mode="drop"
     )
     for l in range(top, 0, -1):
         vals[l - 1] = (
@@ -678,6 +695,7 @@ def tangent_vcycle(
     arrays_t = []
     for l in range(top + 1):
         m = metas[l]["op"]
+        ml = m.local if sharded else m
         arr = hier_arrays[l]
         assert "opk" not in arr, (
             "bf16-packed smoother streams cannot be tangent-refreshed"
@@ -695,7 +713,7 @@ def tangent_vcycle(
         i01 = -b_ / det * omega
         i10 = -c_ / det * omega
         i11 = a_ / det * omega
-        rows = m.n_sb * 8
+        rows = ml.n_sb * (m.n_shards if sharded else 1) * 8
         n = 2 * free2.shape[0]
         msf = (
             jnp.zeros((rows * 128,), f32)
@@ -709,8 +727,30 @@ def tangent_vcycle(
         )
         at = dict(arr)
         at["op"] = dict(arr["op"])
-        at["op"]["vals"] = vals[l].reshape(arr["op"]["vals"].shape)
-        at["msf"], at["mpr"] = msf, mpr
+        if sharded:
+            # slice this device's contiguous superblock range out of the
+            # replicated refreshed stream / smoother-constant rows
+            idx = jax.lax.axis_index(m.axis)
+            cell = ml.s_pad * 8 * 128
+            full_pad = ml.n_sb * m.n_shards * cell
+            vl = vals[l]
+            if full_pad > vl.size:
+                vl = jnp.concatenate(
+                    [vl, jnp.zeros((full_pad - vl.size,), f32)]
+                )
+            vloc = jax.lax.dynamic_slice_in_dim(
+                vl, idx * ml.n_sb * cell, ml.n_sb * cell
+            )
+            at["op"]["vals"] = vloc.reshape(arr["op"]["vals"].shape)
+            at["msf"] = jax.lax.dynamic_slice_in_dim(
+                msf, idx * ml.n_sb * 8, ml.n_sb * 8, axis=0
+            )
+            at["mpr"] = jax.lax.dynamic_slice_in_dim(
+                mpr, idx * ml.n_sb * 8, ml.n_sb * 8, axis=0
+            )
+        else:
+            at["op"]["vals"] = vals[l].reshape(arr["op"]["vals"].shape)
+            at["msf"], at["mpr"] = msf, mpr
         # the unfused first pre-sweep (z=0) applies arr["inv"] directly
         at["inv"] = jnp.stack(
             [jnp.stack([i00, i01], -1), jnp.stack([i10, i11], -1)], -2
@@ -881,11 +921,14 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
             m = meta["op"]
             r2 = spmv.pad_rhs(r, m)
             # first pre-sweep from z=0: the damped block inverse applied
-            # to r directly (no matvec).  Partner-lane swap (lane^1) as a
-            # tiny-axis reverse — take_along_axis would lower to a
-            # serialized XLA gather here
-            r2_sw = r2.reshape(-1, 64, 2)[..., ::-1].reshape(r2.shape)
-            z2 = (arr["msf"] * r2 + arr["mpr"] * r2_sw) * arr["mask"]
+            # to r directly (no matvec).  Computed EXACTLY like the flat
+            # path's einsum (then padded): an elementwise msf/mpr variant
+            # measured bitwise-different (fma fusion), which broke the
+            # sharded-vs-single bit-identity contract
+            dz = jnp.einsum(
+                "nij,nj->ni", arr["inv"], r.reshape(-1, 2)
+            ).reshape(-1)
+            z2 = spmv.pad_rhs(jnp.where(arr["free"], dz, 0.0), m)
             for _ in range(nu_pre - 1):
                 z2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2)
             res2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2, update=False)

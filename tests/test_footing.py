@@ -240,6 +240,30 @@ class TestFastPath:
         p_f = np.asarray(rf.pressure_hist[1 : rf.n_steps + 1])
         assert np.abs(p_a - p_f).max() / np.abs(p_f).max() < 1e-6
 
+    @pytest.mark.parametrize(
+        "etype,level", [(ElementType.Q1, 1), (ElementType.Q2, 1)]
+    )
+    def test_assembled_quads_match_cg(self, etype, level):
+        """Quad elements run the assembled full-tangent scale path too
+        (VERDICT r3 #10): the slot operator build, the corr_full scatter
+        table and the G/S residual operators are element-type generic.
+        Truncated ramp; the adaptive schedules may fork at sharp
+        controller branches (f32 operator rounding), so the check is
+        pressure parity."""
+        kw = dict(level=level, zeta_max=0.05, etype=etype)
+        r0 = solve(FootingConfig.fast(solver="cg", **kw))
+        r1 = solve(FootingConfig.fast(solver="cg", assembled_cg=True, **kw))
+        p0 = float(r0.pressure_hist[r0.n_steps])
+        p1 = float(r1.pressure_hist[r1.n_steps])
+        assert abs(p1 - p0) / abs(p0) < 5e-3
+        # common-prefix pressures match tightly before any fork
+        n = min(r0.n_steps, r1.n_steps, 6)
+        np.testing.assert_allclose(
+            np.asarray(r1.pressure_hist[1 : n + 1]),
+            np.asarray(r0.pressure_hist[1 : n + 1]),
+            rtol=1e-5,
+        )
+
     def test_chunked_checkpoint_survives_interruption(self, tmp_path):
         """The generic chunked executor (solve/chunked.py) drives the
         footing df32 solve: an interrupted checkpointed run resumes

@@ -104,6 +104,34 @@ class TestShardedScale:
         assert r3.n_steps == r5.n_steps >= 3
         np.testing.assert_array_equal(np.asarray(r3.u), np.asarray(r5.u))
 
+    def test_footing_tangent_mg_sharded_bit_identical(self):
+        """The footing's scale path (tangent multigrid) under
+        shard_map: hierarchy/transfer/G-S operators row-sharded, the
+        per-Newton-iteration tangent refresh replicated with per-device
+        superblock slices (solve/multigrid.py tangent_vcycle sharded
+        doc).  Truncated ramp, bit-identical to single-device."""
+        from fem_elastoplasticity_tpu.models import footing
+        from fem_elastoplasticity_tpu.models.config import FootingConfig
+
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = FootingConfig.fast(
+            solver="cg", level=2, tangent_mg=True, zeta_max=0.004
+        )
+        run1, args1, _ = footing.build_df32(cfg)
+        r1 = run1(args1)
+        run8, args8, _ = footing.build_df32(cfg, shard_devices=8)
+        r8 = run8(args8)
+        assert int(r8.n_steps) == int(r1.n_steps)
+        assert int(r8.n_cg_total) == int(r1.n_cg_total)
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        np.testing.assert_array_equal(f64(r8.u), f64(r1.u))
+        np.testing.assert_array_equal(
+            np.asarray(r8.zeta_hist), np.asarray(r1.zeta_hist)
+        )
+
     @pytest.mark.skipif(
         "FEM_TPU_SLOW" not in __import__("os").environ,
         reason="level-2 sharded full schedule is slow on the CPU mesh "

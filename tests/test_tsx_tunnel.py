@@ -299,11 +299,14 @@ class TestHigherOrder:
         # red refinements of the base mesh, so the assembled P1 hierarchy
         # preconditions the high-order tangent CG (990 -> 20 iterations
         # measured on the elastic system); trajectory and field match the
-        # block-Jacobi cg path
-        kw = dict(etype=ElementType.P4, zeta_max=2 / 17)
+        # block-Jacobi cg path.  One load step (this ran 1017 s at 2/17 in
+        # round 3 — the schedule is elastic until step 14 either way, so
+        # the equivalence check loses nothing; plastic p-MG coverage is
+        # the FEM_TPU_SLOW full schedule + benchmarks/p4_tsx_bench.py)
+        kw = dict(etype=ElementType.P4, zeta_max=1 / 17)
         r0 = solve(TsxTunnelConfig.fast(solver="cg", **kw))
         r1 = solve(TsxTunnelConfig.fast(solver="ell", **kw))
-        assert r1.n_steps == r0.n_steps
+        assert r1.n_steps == r0.n_steps == 1
         u0, u1 = np.asarray(r0.u), np.asarray(r1.u)
         assert np.abs(u1 - u0).max() / np.abs(u0).max() < 1e-9
 
