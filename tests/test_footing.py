@@ -295,12 +295,16 @@ class TestFastPath:
     def test_tangent_mg_matches_cg_truncated(self):
         """TRUE tangent multigrid (solve/multigrid.py tangent_vcycle):
         every hierarchy level Galerkin-refreshed from the consistent
-        tangent per Newton iteration.  The adaptive schedule may
-        fragment differently (capped CG solves read as divergence at
-        different points — the smoother, not the coarse operator, is
-        the nu=0.48 quality limit, BENCH_NOTES), so the check is the
-        physics: the pressure-vs-zeta curve matches the block-Jacobi cg
-        path and CG iteration counts drop ~3x."""
+        tangent per Newton iteration.  The adaptive schedules differ
+        (tangent_mg defaults cg_cap_relax=1e-2, so capped solves are
+        accepted as inexact-Newton steps instead of halving d_zeta), so
+        the check is the physics — the pressure-vs-zeta curve matches
+        the block-Jacobi cg path — plus preconditioner quality: fewer
+        CG its per Newton iteration.  (Round-3's ~3x held under strict
+        cap-as-divergence, which fragmented the schedule onto easier
+        sub-steps; with cap-relax the mix includes the hard near-limit
+        solves and the measured ratio is ~0.64 — the stressed-tangent
+        analysis in BENCH_NOTES round 4.)"""
         kw = dict(solver="cg", level=2, zeta_max=0.2, cg_maxiter=4000)
         r_cg = solve(FootingConfig.fast(**kw))
         r_t = solve(FootingConfig.fast(tangent_mg=True, **kw))
@@ -311,10 +315,9 @@ class TestFastPath:
         p_t = np.asarray(r_t.pressure_hist[1 : r_t.n_steps + 1])
         p_c_at_t = np.interp(z_t, z_c, p_c)
         assert np.abs(p_t - p_c_at_t).max() / np.abs(p_c).max() < 2e-3
-        # preconditioner quality: ~3x fewer CG its per Newton iteration
         per_c = r_cg.n_cg_total / r_cg.n_newton_total
         per_t = r_t.n_cg_total / r_t.n_newton_total
-        assert per_t < 0.5 * per_c
+        assert per_t < 0.75 * per_c
 
     def test_fast_f32_preset_limit_pressure(self):
         """Pure-f32 path: schedule differs (f32 criterion floor) but the
