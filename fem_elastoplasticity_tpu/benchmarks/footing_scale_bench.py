@@ -23,6 +23,15 @@ to inexact f32 tangent solves near the limit load; the pressure curve
 and limit pressure agree (cg-vs-assembled limit at level 2: 2e-6 rel).
 Block-Jacobi CG iteration counts (~h^-1 growth, nu = 0.48) are the
 remaining scale bottleneck, not per-iteration cost.
+
+Level >= 4 runs the `FootingConfig.fast_scale` preset (tangent
+multigrid + cg_cap_relax + achievable tolerances — config.py doc):
+  python -m fem_elastoplasticity_tpu.benchmarks.footing_scale_bench 4 --scale
+Measured 2026-08-21 (TPU v5e): level 4 (51.8k DOFs) completes the full
+pressure schedule in ~1235 s total (1076 s stepping + compile/chunk0):
+290 steps / 2270 Newton its / 3.84M CG its, limit pressure 20.4259 —
+identical to the strict round-3 value, 1.8x faster with a 1.6x saner
+schedule.
 """
 from __future__ import annotations
 
@@ -32,10 +41,13 @@ import time
 
 
 def run_footing_scale(
-    levels=(1, 2, 3), reps: int = 3, verbose: bool = True, **cfg_kw
+    levels=(1, 2, 3), reps: int = 3, verbose: bool = True,
+    scale_preset: bool = False, **cfg_kw
 ):
     """cfg_kw: extra FootingConfig.fast overrides (A/B runs, e.g.
-    assembled_cg=True for the full-tangent slot-refresh path)."""
+    assembled_cg=True for the full-tangent slot-refresh path).
+    scale_preset: use FootingConfig.fast_scale (tangent-MG production
+    config for level >= 4 — module docstring)."""
     import numpy as np
 
     from ..models.config import FootingConfig
@@ -45,9 +57,12 @@ def run_footing_scale(
 
     results = []
     for level in levels:
-        kw = dict(solver="cg", cg_maxiter=4000)
-        kw.update(cfg_kw)
-        cfg = FootingConfig.fast(level=level, **kw)
+        if scale_preset:
+            cfg = FootingConfig.fast_scale(level, **cfg_kw)
+        else:
+            kw = dict(solver="cg", cg_maxiter=4000)
+            kw.update(cfg_kw)
+            cfg = FootingConfig.fast(level=level, **kw)
         # levels >= 2 run the load loop in resume-chunked dispatches
         # (solve/chunked.py): the axon tunnel aborts single dispatches
         # running >~1-2 min, and the footing schedule has ~25+ trips
@@ -87,5 +102,8 @@ def run_footing_scale(
 
 
 if __name__ == "__main__":
-    lv = tuple(int(x) for x in sys.argv[1:]) or (1, 2, 3)
-    run_footing_scale(levels=lv)
+    scale = "--scale" in sys.argv
+    lv = tuple(
+        int(x) for x in sys.argv[1:] if not x.startswith("-")
+    ) or (1, 2, 3)
+    run_footing_scale(levels=lv, scale_preset=scale)

@@ -131,6 +131,30 @@ class FootingConfig:
         kw.setdefault("accept_tol", 1e-5)
         return cls(**kw)
 
+    @classmethod
+    def fast_scale(cls, level: int, **kw):
+        """Large-mesh (level >= 4) production preset: tangent multigrid
+        + capped-CG relaxation + achievable tolerances.
+
+        The reference tolerances (newton 1e-12 / accept 1e-10) are
+        unreachable through f32-preconditioned inexact solves at 50k+
+        DOFs: the d_zeta-doubling gate never fires and rejects collapse
+        the schedule (the round-3 level-4 run fragmented to 469 steps /
+        6.6M CG its in 2177 s).  newton_tol 1e-10 / accept_tol 1e-8
+        keep the physics (level-2 limit pressure agrees with the strict
+        run to 1e-5) with a sane schedule: level 4 measured 2026-08-21
+        at ~1235 s total, 290 steps / 2270 Newton its / 3.84M CG its,
+        limit pressure 20.4259 — identical to the strict round-3 value.
+        Run via `build_df32_chunked` (the axon tunnel aborts long
+        single dispatches)."""
+        kw.setdefault("solver", "cg")
+        kw.setdefault("tangent_mg", True)
+        kw.setdefault("cg_maxiter", 3000)
+        kw.setdefault("cg_eta0", 1e-2)
+        kw.setdefault("newton_tol", 1e-10)
+        kw.setdefault("accept_tol", 1e-8)
+        return cls.fast(level=level, **kw)
+
 
 @dataclass(frozen=True)
 class TsxTunnelConfig:
