@@ -95,6 +95,13 @@ class FootingConfig:
     # schedule fragmented to 469 steps under strict cap-as-divergence).
     # None = strict; tangent_mg runs default to 1e-2 (build_df32).
     cg_cap_relax: float = None
+    # recycled Krylov deflation basis size for iterative tangent solves
+    # (solve/newton.py cg_deflate / solve/cg.py deflate docs): a ring of
+    # k orthonormal vectors harvested from every solve and recycled
+    # across Newton iterations and load steps, targeting the persistent
+    # small-eigenvalue (shear-band) cluster that caps the near-limit
+    # solves.  0 = off.
+    cg_deflate: int = 0
     # df32 residual operator format for the scale paths (tangent_mg /
     # assembled_cg): None = "rslot" (ragged compacted-slot, falls back
     # to dense slot when chunking saves <15% — TsxTunnelConfig doc)
@@ -240,6 +247,9 @@ class TsxTunnelConfig:
     # None = strict cap-as-divergence (the tsx solves never brush the
     # cap at the documented settings, so this is a safety valve here)
     cg_cap_relax: float = None
+    # recycled Krylov deflation basis size for the iterative tangent
+    # solves (solve/newton.py cg_deflate doc).  0 = off.
+    cg_deflate: int = 0
     dtype: str = "float64"
     # Reproduce reference defect #3-bis (PARITY.md): the tsx reference never
     # applies the plastic-strain update, so Ep_old is re-zeroed each step

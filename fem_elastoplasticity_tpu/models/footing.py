@@ -555,6 +555,7 @@ def build_df32(cfg: FootingConfig, shard_devices=None):
                 if cfg.cg_cap_relax is not None
                 else (1e-2 if cfg.tangent_mg else None)
             ),
+            cg_deflate=(cfg.cg_deflate if cfg.solver == "cg" else 0),
             apex_ep_uses_trial=cfg.bug_compatible_apex,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             elastic_op=(
@@ -604,6 +605,10 @@ def build_df32(cfg: FootingConfig, shard_devices=None):
             u=rdf, ep=rdf, zeta_hist=rp, monitor_hist=rdf, n_steps=rp,
             n_newton_total=rp, zeta=rdf, d_zeta=rdf, n_plastic=rp,
             n_cg_total=rp, u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=rp,
+            # deflation ring state is replicated (all ops on it are
+            # deterministic dots over replicated vectors — bit-identical
+            # per device, like the rest of the Newton control flow)
+            defl=((rp, rp) if cfg.cg_deflate else None),
         )
         _plain = jax.jit(
             _shard_map(

@@ -866,6 +866,7 @@ def build_df32(
             cg_structure=cfg.cg_structure,
             cg_eta0=cfg.cg_eta0,
             cg_cap_relax=cfg.cg_cap_relax,
+            cg_deflate=cfg.cg_deflate,
             mg_preconditioner=mg_pre,
             elastic_op=(
                 # P2/P4 p-multigrid: the fine hierarchy operator is the

@@ -32,6 +32,11 @@ class CGResult(NamedTuple):
     # capped-solve progress measure (solve/newton.py cg_cap_relax):
     # 1.0 = no progress, tol = converged exactly at the requested floor
     rel_residual: jnp.ndarray = jnp.nan
+    # final (unscaled) residual b - A x and preconditioned residual M r —
+    # already in the loop state, returned for Krylov-recycling harvests
+    # (deflation_harvest); dead-code-eliminated when unused
+    r: Optional[jnp.ndarray] = None
+    z: Optional[jnp.ndarray] = None
 
 
 def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
@@ -81,6 +86,7 @@ def solve_cg(
     atol: float = 0.0,
     maxiter: int = 1000,
     structure: str = "while",
+    deflate: Optional[jnp.ndarray] = None,
 ) -> CGResult:
     """Projected preconditioned CG on the free-DOF subspace.
 
@@ -107,6 +113,30 @@ def solve_cg(
     iteration cap was hit before the tolerance; `solve.newton` treats that
     like Newton divergence (step halving), so a capped solve can never
     pollute a trajectory undetected.
+
+    deflate: optional (n_dofs, k) recycled deflation basis W (orthonormal
+    columns; all-zero columns = empty slots) — two-level deflated PCG in
+    the finite-precision-robust A-DEF2 formulation [Tang, Nabben, Vuik,
+    Erlangga, "Comparison of two-level PCG methods", J. Sci. Comput.
+    2009]: standard PCG with the start iterate x0 = W E⁻¹ Wᵀ b
+    (E = WᵀAW, so Wᵀ r0 = 0) and the wrapped preconditioner
+    z̃ = M z-step followed by the coarse correction
+    z̃ = z − W E⁻¹ ((AW)ᵀ z − Wᵀ r).  Components of the error in
+    span(W) are eliminated up front and kept out by the correction, so
+    a basis spanning the operator's small-eigenvalue cluster removes
+    exactly the slow tail that caps the footing's near-limit tangent
+    solves (BENCH_NOTES round 4).  The textbook DEF1 variant (projected
+    search directions) was measured to DIVERGE in f32 — round-off
+    re-excites the deflated modes and nothing corrects them; A-DEF2's
+    correction term re-anneals them every iteration (the 2009 paper's
+    central finding, reproduced in tests/test_cg_deflation.py).
+    Setup: k operator applications (one lax.scan) + a k×k Cholesky;
+    per-iteration: three (n,k) matmuls.  A non-SPD/ill-conditioned WᵀAW
+    (NaN Cholesky) disables the corrections for this solve — plain PCG,
+    never a polluted iterate.  x0 must be None with deflate.  NOTE: the
+    relative tolerance is then measured against the DEFLATED start
+    residual |r0|_M (≤ |b|_M when the basis helps) — marginally tighter
+    solves, identical capped-solve semantics.
     """
     fmask = jnp.asarray(free).reshape(-1)
     proj = lambda v: jnp.where(fmask, v, 0.0)
@@ -130,7 +160,44 @@ def solve_cg(
     # measured at 904 MB before this restructuring).  The x0=None path
     # therefore reuses r0 = b and bnorm = sqrt(gamma0), instantiating M
     # once and A zero times outside the loop.
-    if x0 is None:
+    if deflate is not None:
+        assert x0 is None, "deflate requires x0=None"
+        W = jnp.where(fmask[:, None], deflate, 0.0)
+        # AW via ONE scan (one A instantiation, k sequential applications)
+        _, AWt = jax.lax.scan(lambda c, w: (c, A(w)), None, W.T)
+        AW = AWt.T  # (n, k)
+        # Gram matrix in the A-inner product; empty (zero) slots get unit
+        # diagonal — their correction coefficients multiply zero columns.
+        # Symmetric unit-diagonal scaling + a small jitter keep the f32
+        # Cholesky well-posed across the basis' Rayleigh-quotient spread
+        # (the whole point is columns with tiny wᵀAw); a NaN factor
+        # (indefinite tangent) disables the corrections for this solve.
+        cn = jnp.sum(W * W, axis=0)
+        E = W.T @ AW
+        E = 0.5 * (E + E.T) + jnp.diag(jnp.where(cn > 0.5, 0.0, 1.0))
+        dE = jnp.diagonal(E)
+        sE = jax.lax.rsqrt(jnp.maximum(dE, jnp.asarray(1e-30, E.dtype)))
+        Es = E * sE[:, None] * sE[None, :] + 1e-5 * jnp.eye(
+            E.shape[0], dtype=E.dtype
+        )
+        cfac = jax.scipy.linalg.cho_factor(Es)
+        okd = jnp.isfinite(cfac[0]).all()
+
+        def dsolve(t):
+            y = sE * jax.scipy.linalg.cho_solve(cfac, sE * t)
+            return jnp.where(okd, y, 0.0)
+
+        # A-DEF2: fold the coarse correction into the preconditioner —
+        # the CG recurrences stay textbook PCG (docstring)
+        M0 = M
+        M = lambda r: (lambda z: z - W @ dsolve(AW.T @ z - W.T @ r))(M0(r))
+        mu = dsolve(W.T @ b)
+        x0 = W @ mu
+        r0 = b - AW @ mu
+        z0 = proj(M(r0))
+        gamma0 = r0 @ z0
+        bnorm = jnp.sqrt(jnp.abs(gamma0))
+    elif x0 is None:
         x0 = jnp.zeros_like(b)
         r0 = b
         z0 = proj(M(r0))
@@ -174,7 +241,7 @@ def solve_cg(
             return (x, r, z, p, gamma_new, k + 1, ~ok)
 
         state = (x0, r0, z0, z0, gamma0, jnp.asarray(0), jnp.asarray(False))
-        x, r, _, _, gamma, k, _ = jax.lax.while_loop(cond, body, state)
+        x, r, z, _, gamma, k, _ = jax.lax.while_loop(cond, body, state)
     elif structure == "scan":
         # fixed trip count; `done` freezes the state so post-convergence
         # trips are no-ops (and their 0/0 ratios never reach the state)
@@ -204,7 +271,7 @@ def solve_cg(
 
         done0 = jnp.sqrt(jnp.abs(gamma0)) <= limit
         state = (x0, r0, z0, z0, gamma0, jnp.asarray(0), done0)
-        (x, r, _, _, gamma, k, _), _ = jax.lax.scan(
+        (x, r, z, _, gamma, k, _), _ = jax.lax.scan(
             body, state, None, length=maxiter
         )
     else:
@@ -216,4 +283,49 @@ def solve_cg(
         residual=res * bscale,
         converged=res <= limit,
         rel_residual=res / jnp.where(bnorm > 0.0, bnorm, 1.0),
+        r=r * bscale,
+        z=z * bscale,
     )
+
+
+def deflation_harvest(W, ring, vecs, gates=None):
+    """Insert candidate vectors into the recycled deflation ring basis.
+
+    W: (n, k) orthonormal-column basis (zero columns = empty slots);
+    ring: i32 scalar, next slot to overwrite (oldest-first FIFO);
+    vecs: candidate vectors, e.g. a tangent solve's solution x (its
+    A⁻¹b content amplifies exactly the small-eigenvalue modes) and the
+    final preconditioned residual M r (what the solve could NOT
+    converge — at a capped near-limit solve, the persistent cluster
+    itself); gates: optional traced bool per candidate — a False gate
+    skips the insert without consuming a slot (e.g. the residual of a
+    CONVERGED solve is noise at the tolerance floor and would evict
+    useful columns).  Each candidate is orthogonalized against the
+    current basis (two-pass MGS, f32-stable); near-dependent or tiny
+    candidates are discarded without consuming a slot.  Columns are
+    never modified after insertion, so pairwise orthonormality holds
+    by induction.
+
+    The basis needs no A-image or eigen-structure maintenance: the
+    tangent changes every Newton iteration anyway, so `solve_cg`
+    recomputes AW fresh per solve (deflate doc).  Returns (W, ring).
+    """
+    k = W.shape[1]
+    if gates is None:
+        gates = [None] * len(vecs)
+    for v, gate in zip(vecs, gates):
+        nv0 = jnp.sqrt(v @ v)
+        c = W.T @ v
+        v1 = v - W @ c
+        c2 = W.T @ v1
+        v1 = v1 - W @ c2
+        nv = jnp.sqrt(v1 @ v1)
+        good = nv > 1e-3 * (nv0 + jnp.asarray(1e-30, v.dtype))
+        if gate is not None:
+            good = good & gate
+        col = jnp.where(
+            good, v1 / jnp.where(good, nv, 1.0), W[:, ring % k]
+        )
+        W = W.at[:, ring % k].set(col)
+        ring = jnp.where(good, (ring + 1) % k, ring)
+    return W, ring

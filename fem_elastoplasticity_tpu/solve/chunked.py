@@ -28,13 +28,18 @@ from ..ops.df32 import DF
 
 def carry_of(res) -> dict:
     """LoadSteppingResult -> the stepper's resume-carry mapping."""
-    return dict(
+    c = dict(
         u=res.u, u_old=res.u_old, u_it=res.u_it, ep=res.ep,
         zeta_old=res.zeta, d_zeta=res.d_zeta,
         d_zeta_old=res.d_zeta_old, step=res.n_steps, aux=res.aux,
         zeta_hist=res.zeta_hist, monitor_hist=res.monitor_hist,
         nits_total=res.n_newton_total, ncg_total=res.n_cg_total,
     )
+    if getattr(res, "defl", None) is not None:
+        # recycled deflation ring (solve/newton.py cg_deflate): flat
+        # keys so the checkpoint stays a plain npz mapping
+        c["defl_w"], c["defl_ring"] = res.defl
+    return c
 
 
 def save_checkpoint(path, carry: dict) -> None:

@@ -50,7 +50,7 @@ from ..ops.df32 import (
     df_pin,
     df_sub,
 )
-from .cg import block_jacobi_preconditioner, solve_cg
+from .cg import block_jacobi_preconditioner, deflation_harvest, solve_cg
 
 
 def _spd_solve(K, b):
@@ -105,6 +105,10 @@ class LoadSteppingResult(NamedTuple):
     u_it: jnp.ndarray
     d_zeta_old: jnp.ndarray
     aux: jnp.ndarray
+    # recycled Krylov deflation state (cg_deflate doc): (W, ring) when
+    # enabled, None otherwise (an empty pytree node — result/carry
+    # structures are unchanged for every pre-existing path)
+    defl: object = None
 
 
 class NewtonSettings(NamedTuple):
@@ -138,6 +142,7 @@ def build_load_stepper(
     cg_eta0: Optional[float] = None,
     cg_eta_safety: float = 0.1,
     cg_cap_relax: Optional[float] = None,
+    cg_deflate: int = 0,
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
@@ -303,6 +308,21 @@ def build_load_stepper(
                   Solves that made less progress than the factor (incl.
                   breakdown exits) still read as divergence.  None
                   (default) = strict cap-as-divergence.
+      cg_deflate: iterative tangent solves (currently the tangent_mg
+                  path) — size k of a recycled Krylov deflation basis
+                  (`solve/cg.py` deflate/deflation_harvest docs).  Each
+                  tangent solve runs deflated PCG against a ring basis
+                  W carried across Newton iterations AND load steps
+                  (and through checkpoint/resume); after every solve
+                  the solution and the final preconditioned residual
+                  are orthonormalized into the ring.  Targets the
+                  persistent small-eigenvalue cluster (shear-band
+                  modes) that caps the footing's near-limit solves —
+                  neither a stronger smoother nor the coarse grid
+                  represents it (BENCH_NOTES round 4).  Affects only
+                  iteration counts/inexactness, never the converged
+                  physics (the criterion measures true convergence).
+                  0 (default) = off.
       f_ext_dir:  optional (2*n_n,) external load direction ramped with
                   the load factor: the Newton residual becomes
                   F_int(u) - zeta * f_ext_dir (e.g. a tunnel support
@@ -447,15 +467,16 @@ def build_load_stepper(
             return res.converged
         return res.converged | (res.rel_residual <= cg_cap_relax)
 
-    def newton_solve(d, f_int, any_plastic, ind_p=None, eta=None):
+    def newton_solve(d, f_int, any_plastic, ind_p=None, eta=None, defl=None):
         """One Newton linear solve: K_tangent dU = -F on free DOFs.
 
         d: (3, 3, n_int) consistent tangent; ind_p: (n_int,) plastic mask
         (elastic_op mode); eta: traced CG tolerance override (forcing
-        term, cg_eta0 doc) — None = the static cg_tol.  Returns (dU, ok)
-        — ok is False when an iterative solve hit its cap without
-        converging (treated as divergence by the caller, like the NaN
-        guard)."""
+        term, cg_eta0 doc) — None = the static cg_tol; defl: recycled
+        deflation state (cg_deflate doc), passed through unchanged by
+        paths that do not use it.  Returns (dU, ok, cg_its, defl) — ok
+        is False when an iterative solve hit its cap without converging
+        (treated as divergence by the caller, like the NaN guard)."""
         if solver == "dense":
             rhs = -f_int[free_idx]
 
@@ -581,7 +602,7 @@ def build_load_stepper(
                                 .at[free_idx]
                                 .set(dU_free)
                             )
-                            return dU, jnp.asarray(True), jnp.asarray(0)
+                            return dU, jnp.asarray(True), jnp.asarray(0), defl
                         fresh = smw
                 else:
                     reuse = lambda: jax.scipy.linalg.cho_solve(
@@ -589,7 +610,7 @@ def build_load_stepper(
                     )
                 dU_free = jax.lax.cond(any_plastic, fresh, reuse)
             dU = jnp.zeros((n_dofs,), dtype).at[free_idx].set(dU_free)
-            return dU, jnp.asarray(True), jnp.asarray(0)
+            return dU, jnp.asarray(True), jnp.asarray(0), defl
         if tangent_mg is not None:
             # per-iteration tangent hierarchy refresh (tangent_mg doc)
             from . import multigrid as mgm
@@ -609,7 +630,17 @@ def build_load_stepper(
                 tol=cg_tol if eta is None else eta,
                 maxiter=cg_maxiter,
                 structure=cg_structure,
+                deflate=None if defl is None else defl[0],
             )
+            if defl is not None:
+                # recycle: the solution (A⁻¹b — small-mode amplified)
+                # and the unconverged preconditioned residual feed the
+                # ring basis for the NEXT solves (cg_deflate doc)
+                W, ring = deflation_harvest(
+                    defl[0], defl[1], [res.x, res.z],
+                    gates=[None, ~res.converged],
+                )
+                defl = (W, ring)
             import os
 
             if os.environ.get("FEM_TPU_DEBUG_CG"):
@@ -618,7 +649,7 @@ def build_load_stepper(
                     it=res.iters, rel=res.rel_residual, c=res.converged,
                     e=cg_tol if eta is None else eta,
                 )
-            return res.x, _cg_ok(res), res.iters
+            return res.x, _cg_ok(res), res.iters, defl
         if solver == "mg" and mg_preconditioner is not None:
             pre = mg_preconditioner
         else:
@@ -735,7 +766,14 @@ def build_load_stepper(
             tol=cg_tol if eta is None else eta,
             maxiter=cg_maxiter,
             structure=cg_structure,
+            deflate=None if defl is None else defl[0],
         )
+        if defl is not None:
+            W, ring = deflation_harvest(
+                defl[0], defl[1], [res.x, res.z],
+                gates=[None, ~res.converged],
+            )
+            defl = (W, ring)
         import os
 
         if os.environ.get("FEM_TPU_DEBUG_CG"):
@@ -747,22 +785,24 @@ def build_load_stepper(
                 c=res.converged, bm=jnp.abs(f_int).max(),
                 xm=jnp.abs(res.x).max(),
             )
-        return res.x, _cg_ok(res), res.iters
+        return res.x, _cg_ok(res), res.iters, defl
 
-    def inner_newton(U_it, ep, zeta):
+    def inner_newton(U_it, ep, zeta, defl0=None):
         """Semi-smooth Newton at fixed load factor.
 
         U_it (and ep) are DF pairs in df32 mode; increments and the
-        criterion stay plain f32."""
+        criterion stay plain f32.  defl0: recycled deflation state
+        (cg_deflate doc) threaded through every linear solve and
+        returned updated."""
         big = jnp.asarray(jnp.inf, dtype)
         u_head = (lambda u: u.hi) if df_mode else (lambda u: u)
 
         def cond(carry):
-            _, _, crit, it, _, fail = carry
+            _, _, crit, it, _, fail, _ = carry
             return (~fail) & (crit >= settings.newton_tol) & (it < settings.maxit)
 
         def body(carry):
-            U_it, dU_prev, crit_prev, it, ncg, _ = carry
+            U_it, dU_prev, crit_prev, it, ncg, _, defl = carry
             s_rm, ds_rm, ind_p, _, _ = return_map(U_it, ep, zeta)
             f_int = residual_force(s_rm, zeta)
             any_p = ind_p.any()
@@ -779,8 +819,8 @@ def build_load_stepper(
                     cg_tol,
                     cg_eta0,
                 )
-            dU, ok, cg_its = newton_solve(
-                ds_rm, f_int, any_p, ind_p=ind_p, eta=eta
+            dU, ok, cg_its, defl = newton_solve(
+                ds_rm, f_int, any_p, ind_p=ind_p, eta=eta, defl=defl
             )
             U_new = (
                 df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
@@ -799,9 +839,12 @@ def build_load_stepper(
                     d=jnp.abs(dU).max(),
                 )
             U_next = _wsel(fail, U_it, U_new)
-            return (U_next, dU, crit, it + 1, ncg + cg_its.astype(ncg.dtype), fail)
+            return (
+                U_next, dU, crit, it + 1,
+                ncg + cg_its.astype(ncg.dtype), fail, defl,
+            )
 
-        U, _, crit, nits, ncg, fail = jax.lax.while_loop(
+        U, _, crit, nits, ncg, fail, defl = jax.lax.while_loop(
             cond,
             body,
             (
@@ -811,10 +854,11 @@ def build_load_stepper(
                 jnp.asarray(0),
                 jnp.asarray(0),
                 jnp.asarray(False),
+                defl0,
             ),
         )
         crit = jnp.where(fail, jnp.asarray(jnp.nan, dtype), crit)
-        return U, crit, nits, ncg
+        return U, crit, nits, ncg, defl
 
     if monitor is None:
         monitor = (
@@ -854,8 +898,17 @@ def build_load_stepper(
             ncg_total: jnp.ndarray
             trips: jnp.ndarray
             done: jnp.ndarray
+            defl: object = None
 
         n_int = geom.n_int
+        defl0 = (
+            None
+            if cg_deflate == 0
+            else (
+                jnp.zeros((n_dofs, cg_deflate), dtype),
+                jnp.asarray(0, jnp.int32),
+            )
+        )
         if df_mode:
             assert pin_zeros is not None, "df32 mode requires pin_zeros"
             U_it0 = df_pin(U_it0, pin_zeros)
@@ -877,6 +930,7 @@ def build_load_stepper(
                 ncg_total=jnp.asarray(0),
                 trips=jnp.asarray(0),
                 done=jnp.asarray(False),
+                defl=defl0,
             )
         else:
             c0 = C(
@@ -895,8 +949,21 @@ def build_load_stepper(
                 ncg_total=jnp.asarray(0),
                 trips=jnp.asarray(0),
                 done=jnp.asarray(False),
+                defl=defl0,
             )
         if resume is not None:
+            resume = dict(resume)
+            # deflation ring state round-trips as flat keys (npz-able,
+            # chunked.carry_of); older checkpoints simply lack them and
+            # re-bootstrap from the fresh (zero) basis
+            if cg_deflate and "defl_w" in resume:
+                resume["defl"] = (
+                    jnp.asarray(resume.pop("defl_w"), dtype),
+                    jnp.asarray(resume.pop("defl_ring"), jnp.int32),
+                )
+            else:
+                resume.pop("defl_w", None)
+                resume.pop("defl_ring", None)
             rename = {
                 "u": "U", "u_old": "U_old", "u_it": "U_it",
                 "monitor_hist": "mon_hist",
@@ -904,8 +971,9 @@ def build_load_stepper(
 
             def _cast(v):
                 # df32 carry fields arrive as DF pairs and pass through
-                # unchanged (chunked execution / checkpoint round-trips)
-                if isinstance(v, DF):
+                # unchanged (chunked execution / checkpoint round-trips);
+                # tuples (the deflation state, pre-cast above) likewise
+                if isinstance(v, (DF, tuple)):
                     return v
                 a = jnp.asarray(v)
                 return jnp.asarray(v, dtype) if a.dtype.kind == "f" else a
@@ -922,7 +990,9 @@ def build_load_stepper(
                 if df_mode
                 else s.zeta_old + s.d_zeta
             )
-            U_conv, crit, nits, ncg = inner_newton(s.U_it, s.ep, zeta)
+            U_conv, crit, nits, ncg, defl = inner_newton(
+                s.U_it, s.ep, zeta, s.defl
+            )
             accepted = crit < settings.accept_tol  # False for NaN
 
             s_rm, _, _, _, ep_new = return_map(U_conv, s.ep, zeta, apply=True)
@@ -973,13 +1043,16 @@ def build_load_stepper(
                 done = (zeta_old >= settings.zeta_max - 1e-12) | (
                     d_zeta < settings.d_zeta_min
                 )
+            # the deflation basis advances even on rejected steps — it is
+            # a solver aid (affects iteration counts only), and the newest
+            # harvest reflects the current tangent best
             return C(
                 U=U, U_old=U_old, U_it=U_it, ep=ep, zeta_old=zeta_old,
                 d_zeta=d_zeta, d_zeta_old=d_zeta_old, step=step, aux=aux,
                 zeta_hist=zeta_hist, mon_hist=mon_hist,
                 nits_total=s.nits_total + nits,
                 ncg_total=s.ncg_total + ncg.astype(s.ncg_total.dtype),
-                trips=s.trips + 1, done=done,
+                trips=s.trips + 1, done=done, defl=defl,
             )
 
         s = jax.lax.while_loop(cond, body, c0)
@@ -1006,6 +1079,7 @@ def build_load_stepper(
             u_it=s.U_it,
             d_zeta_old=s.d_zeta_old,
             aux=s.aux,
+            defl=s.defl,
         )
 
     return run
