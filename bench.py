@@ -225,6 +225,105 @@ def _bench_assembled_matvec(jax, np):
     return gdof_s, (traffic / wall) / V5E_HBM_BYTES_S
 
 
+def _bench_assembly_throughput(jax, np):
+    """North-star assembly GDOF/s (BASELINE.md metric line): per-element
+    stiffness assembly (ops/assembly.py element_stiffness — the batched
+    B^T D B einsum over all integration points, MXU work) on the level-4
+    mesh, fori-amortized with the dispatch floor cancelled.  Reported as
+    mesh DOFs assembled per second."""
+    import jax.numpy as jnp
+
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+    from fem_elastoplasticity_tpu.models.materials import (
+        elastic_tangent_lanes,
+        lame_moduli,
+    )
+    from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+    from fem_elastoplasticity_tpu.ops import assembly as asm
+    from fem_elastoplasticity_tpu.ops.elements import tables, volume_element
+
+    cfg = TsxTunnelConfig(refine_levels=4)  # 227k elements / 228k DOFs
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    ref = volume_element(cfg.etype)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    f32 = jnp.float32
+    tab = tables(ref)
+    tab = type(tab)(*[jnp.asarray(x, f32) for x in tab])
+    args = dict(
+        coords=jnp.asarray(mesh.coords, f32),
+        elems=jnp.asarray(mesh.elems),
+        tab=tab,
+    )
+
+    def apply_n(n_iters):
+        @jax.jit
+        def fn(a):
+            geom = asm.compute_geometry(a["coords"], a["elems"], a["tab"])
+            D = elastic_tangent_lanes(shear, bulk, geom.n_int, f32)
+
+            def body(_, c):
+                # scale D by a bounded function of the previous result so
+                # iterations chain (no CSE), like the real solver's
+                # per-Newton-iteration tangent reassembly
+                ke = asm.element_stiffness(geom, D * c)
+                return 1.0 + 1e-30 * jnp.abs(ke[0, 0, 0])
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.asarray(1.0, f32))
+
+        return fn
+
+    wall = _floor_cancelled_wall(apply_n, args, np, reps=(10, 30))
+    return 2 * mesh.n_nodes / wall / 1e9
+
+
+def _bench_return_map_throughput(jax, np):
+    """North-star return-map GDOF/s (BASELINE.md metric line): the fused
+    Pallas Drucker-Prager constitutive update (ops/return_map_pallas.py)
+    over the level-4 integration-point stream.  Reported both as mesh
+    DOFs per second (the BASELINE.md unit) and integration points per
+    second."""
+    import jax.numpy as jnp
+
+    from fem_elastoplasticity_tpu.models.config import TsxTunnelConfig
+    from fem_elastoplasticity_tpu.models.materials import (
+        drucker_prager_fit,
+        lame_moduli,
+    )
+    from fem_elastoplasticity_tpu.models.tsx_tunnel import tsx_mesh
+    from fem_elastoplasticity_tpu.ops.return_map_pallas import (
+        dp_return_map_pallas,
+    )
+
+    cfg = TsxTunnelConfig(refine_levels=4)
+    mesh = tsx_mesh(cfg.etype, cfg.refine_levels)
+    shear, bulk = lame_moduli(cfg.young, cfg.poisson)
+    eta, c = drucker_prager_fit(cfg.cohesion, cfg.friction_angle)
+    n = ((mesh.n_elems + 127) // 128) * 128  # P1: 1 qp/element, lane pad
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    args = dict(
+        e3=jnp.asarray(1e-3 * rng.standard_normal((3, n)), f32),
+        ep=jnp.zeros((4, n), f32),
+    )
+
+    def apply_n(n_iters):
+        @jax.jit
+        def fn(a):
+            def body(_, e3):
+                s, ds6, lam, ep = dp_return_map_pallas(
+                    e3, a["ep"], shear, bulk, eta, c
+                )
+                # bounded chain through the stress so iterations depend
+                return a["e3"] * (1.0 + 1e-30 * s[:3])
+
+            return jax.lax.fori_loop(0, n_iters, body, a["e3"])
+
+        return fn
+
+    wall = _floor_cancelled_wall(apply_n, args, np, reps=(30, 100))
+    return 2 * mesh.n_nodes / wall / 1e9, n / wall / 1e9
+
+
 def _preflight_tpu(timeout_s: int = 120) -> bool:
     """Probe the axon backend in a subprocess with a hard timeout.
 
@@ -259,8 +358,10 @@ def _measure() -> None:
 
     wall, rel_err, walls = _bench_solve(jax, np)
     floor = _bench_dispatch_floor(jax, np)
-    gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
     ell_gdof_s, ell_hbm_frac = _bench_assembled_matvec(jax, np)
+    asm_gdof_s = _bench_assembly_throughput(jax, np)
+    rm_gdof_s, rm_gipts_s = _bench_return_map_throughput(jax, np)
+    gdof_s, hbm_frac = _bench_matvec_utilization(jax, np)
 
     print(
         json.dumps(
@@ -278,10 +379,19 @@ def _measure() -> None:
                 "rel_err_vs_f64_trajectory": rel_err,
                 "walls_s": walls,
                 "dispatch_floor_s": floor,
-                "gdof_per_s_matvec_l4": gdof_s,
-                "hbm_utilization_matvec_l4": hbm_frac,
+                # north-star throughputs (BASELINE.md metric line), all
+                # on the level-4 mesh (227k elements / 228k DOFs).  The
+                # assembled slot matvec is the PRODUCTION operator.
+                "gdof_per_s_assembly_l4": asm_gdof_s,
+                "gdof_per_s_return_map_l4": rm_gdof_s,
+                "gipts_per_s_return_map_l4": rm_gipts_s,
                 "gdof_per_s_assembled_matvec_l4": ell_gdof_s,
                 "hbm_utilization_assembled_matvec_l4": ell_hbm_frac,
+                # diagnostic only: the UNASSEMBLED matrix-free matvec
+                # (XLA's serialized gather lowering — why the assembled
+                # operators exist; not a production path at scale)
+                "gdof_per_s_matvec_matrixfree_l4_diag": gdof_s,
+                "hbm_utilization_matvec_matrixfree_l4_diag": hbm_frac,
             }
         )
     )

@@ -91,7 +91,9 @@ def run_footing_scale(
             "setup_s": setup,
             "n_steps": int(r.n_steps),
             "n_newton_total": int(r.n_newton_total),
+            "n_cg_total": int(r.n_cg_total),
             "n_plastic": int(r.n_plastic),
+            "cg_deflate": int(getattr(cfg, "cg_deflate", 0)),
             "limit_pressure": float(r.pressure_hist[r.n_steps]),
             "zeta_end": float(np.asarray(r.zeta_hist).max()),
         }
@@ -103,7 +105,13 @@ def run_footing_scale(
 
 if __name__ == "__main__":
     scale = "--scale" in sys.argv
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--deflate="):
+            kw["cg_deflate"] = int(a.split("=", 1)[1])
+        elif a.startswith("--reps="):
+            kw["reps"] = int(a.split("=", 1)[1])
     lv = tuple(
         int(x) for x in sys.argv[1:] if not x.startswith("-")
     ) or (1, 2, 3)
-    run_footing_scale(levels=lv, scale_preset=scale)
+    run_footing_scale(levels=lv, scale_preset=scale, **kw)

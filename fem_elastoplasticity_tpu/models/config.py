@@ -262,6 +262,9 @@ class TsxTunnelConfig:
     # matvec at level 3), so nu trades preconditioner strength (CG
     # iteration count) against per-application cost — tunable on hardware
     mg_nu: int = 2
+    # V-cycle shape for solver="ell": "v" | "w" (make_vcycle_ell cycle
+    # doc — W revisits sub-levels twice; coarse work is cheap at scale)
+    mg_cycle: str = "v"
     # windowed-ELL overflow budget (ops/spmv.py build_ell /
     # build_ell_df): larger values shrink the window J (smaller main
     # operator, faster kernel) but grow the exact slot-df overflow side

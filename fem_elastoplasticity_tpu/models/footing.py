@@ -159,6 +159,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             cg_maxiter=cfg.cg_maxiter,
             cg_structure=cfg.cg_structure,
             cg_cap_relax=cfg.cg_cap_relax,
+            cg_deflate=(cfg.cg_deflate if cfg.solver == "cg" else 0),
             elastic_factor=(
                 _elastic_factor(cho, dtype)
                 if cfg.solver == "dense"

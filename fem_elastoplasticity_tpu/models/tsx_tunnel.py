@@ -786,7 +786,10 @@ def build_df32(
                         a["inv0"] @ r[idx0]
                     )
 
-                vc = mgm.make_vcycle_ell(ell["metas"], coarse_solve, nu=cfg.mg_nu)
+                vc = mgm.make_vcycle_ell(
+                    ell["metas"], coarse_solve, nu=cfg.mg_nu,
+                    cycle=cfg.mg_cycle,
+                )
                 mg_pre = lambda r: vc(a["mg_ell"], r)
                 pre = mg_pre
             else:
@@ -938,6 +941,9 @@ def build_df32(
             u=rdf, ep=rdf, zeta_hist=rp, monitor_hist=rdf, n_steps=rp,
             n_newton_total=rp, zeta=rdf, d_zeta=rdf, n_plastic=rp,
             n_cg_total=rp, u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=rp,
+            # deflation ring state is replicated, like the rest of the
+            # Newton control flow (mirrors footing.build_df32)
+            defl=((rp, rp) if cfg.cg_deflate else None),
         )
         _plain = jax.jit(
             _shard_map(
@@ -1003,7 +1009,10 @@ def build_df32(
                     coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                         a["inv0"] @ r[idx0]
                     )
-                    vc = mgm.make_vcycle_ell(ell["metas"], coarse, nu=cfg.mg_nu)
+                    vc = mgm.make_vcycle_ell(
+                        ell["metas"], coarse, nu=cfg.mg_nu,
+                        cycle=cfg.mg_cycle,
+                    )
                     return lambda r: vc(a["mg_ell"], r)
                 coarse = lambda r: jnp.zeros_like(r).at[idx0].set(
                     jax.scipy.linalg.cho_solve((a["cho0"], False), r[idx0])

@@ -68,7 +68,8 @@ def sharded_geometry(
     )
 
 
-def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
+def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn,
+                    cg_deflate: int = 0):
     """Wrap a load-stepper builder in shard_map over the element axis.
 
     Args:
@@ -76,6 +77,11 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
       build_fn: (local_geom, axis_name, *extra) -> run(U_it0, aux0,
                 d_zeta0); typically a closure over
                 `solve.newton.build_load_stepper` with solver="cg".
+      cg_deflate: MUST match the build_fn's stepper setting — a
+                deflation-enabled stepper returns a `defl=(W, ring)`
+                ring-state entry, and out_specs has to carry a
+                matching (replicated) spec or shard_map fails with a
+                pytree structure mismatch at trace time.
 
     Returns run(garr, U_it0, aux0, d_zeta0, *extra): `garr` is the
     geometry-array dict (`geometry_args`) and the `extra` arrays are
@@ -105,6 +111,7 @@ def sharded_stepper(mesh: Mesh, geom: asm.Geometry, build_fn):
         u=r, ep=e_c, zeta_hist=r, monitor_hist=r, n_steps=r,
         n_newton_total=r, zeta=r, d_zeta=r, n_plastic=r, n_cg_total=r,
         u_old=r, u_it=r, d_zeta_old=r, aux=r,
+        defl=((r, r) if cg_deflate else None),
     )
 
     def run(garr, U_it0, aux0, d_zeta0, *extra):
@@ -197,7 +204,7 @@ def sharded_geometry_df(coords, elems, ref: ReferenceElement, mesh: Mesh):
     return gdf_sharded, per_shard
 
 
-def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
+def sharded_stepper_df(mesh: Mesh, gdf, build_fn, cg_deflate: int = 0):
     """shard_map wrapper for the df32 load stepper.
 
     build_fn: (local_gdf, axis_name, *extra) -> run(U_it0_df, aux0,
@@ -205,6 +212,7 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
     nodal/scalar pairs replicated, integration-point pairs element-
     sharded.  Nodal force reductions inside the stepper use the exact
     compensated all-reduce (`ops.df32.df_allreduce`).
+    cg_deflate must match the stepper's setting (`sharded_stepper` doc).
 
     Returns run(garr, U_it0, aux0, d_zeta0, *extra): `garr` is the df
     geometry-array dict (`geometry_args_df`) — passed at call time, not
@@ -240,6 +248,7 @@ def sharded_stepper_df(mesh: Mesh, gdf, build_fn):
         u=rdf, ep=edf, zeta_hist=r, monitor_hist=rdf, n_steps=r,
         n_newton_total=r, zeta=rdf, d_zeta=rdf, n_plastic=r, n_cg_total=r,
         u_old=rdf, u_it=rdf, d_zeta_old=rdf, aux=r,
+        defl=((r, r) if cg_deflate else None),
     )
 
     def run(garr, U_it0, aux0, d_zeta0, *extra):

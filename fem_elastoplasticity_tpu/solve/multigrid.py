@@ -835,13 +835,19 @@ def shard_hierarchy_ell(arrays, metas, n_shards: int, axis=None):
     return out_a, out_m, out_s
 
 
-def make_vcycle_ell(metas, coarse_solve, nu=2):
+def make_vcycle_ell(metas, coarse_solve, nu=2, cycle="v"):
     """ELL V-cycle: returns pre(arrays, r) with `arrays` a jit argument.
 
     nu: smoothing sweeps — an int (symmetric) or a (pre, post) tuple.
     The first pre-sweep from z=0 is a free block-inverse application (no
     matvec), so V(1,2) drops one full smoother sweep per level per cycle
     relative to V(2,2) while keeping two real post-sweeps.
+
+    cycle: "v" | "w" — a W-cycle revisits each sub-level twice (the
+    second visit smooths the updated coarse residual), strengthening
+    the coarse-grid correction for ~the cost of the coarse-level
+    sweeps only (fine-level work, which dominates the wall at scale,
+    is unchanged).
 
     Same cycle structure as `make_vcycle` but every operator application
     is an assembled-sparse Pallas matvec (`ops.spmv.sp_matvec` —
@@ -909,6 +915,16 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
             and "opk" not in arr
         )
 
+    def _coarse_correct(arrays, li, r_c):
+        # one (V) or two (W) visits to the sub-level below li
+        z_c = vcycle(arrays, li - 1, r_c)
+        if cycle == "w" and li - 1 > 0:
+            arr_c, meta_c = arrays[li - 1], metas[li - 1]
+            res_c = r_c - spmv.sp_matvec(arr_c["op"], meta_c["op"], z_c)
+            res_c = jnp.where(arr_c["free"], res_c, 0.0)
+            z_c = z_c + vcycle(arrays, li - 1, res_c)
+        return z_c
+
     def vcycle(arrays, li, r):
         arr, meta = arrays[li], metas[li]
         r = jnp.where(arr["free"], r, 0.0)
@@ -933,7 +949,7 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
                 z2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2)
             res2 = spmv.slot_sweep_b(arr["op"], m, arr, z2, r2, update=False)
             r_c = spmv.sp_matvec(arr["R"], meta["R"], res2)
-            z_c = vcycle(arrays, li - 1, r_c)
+            z_c = _coarse_correct(arrays, li, r_c)
             zp = spmv.sp_matvec(arr["P"], meta["P"], z_c)
             z2 = z2 + spmv.pad_rhs(jnp.where(arr["free"], zp, 0.0), m)
             for _ in range(nu_post):
@@ -957,7 +973,7 @@ def make_vcycle_ell(metas, coarse_solve, nu=2):
             res = r - spmv.sp_matvec(arr["op"], meta["op"], z)
             res = jnp.where(arr["free"], res, 0.0)
         r_c = spmv.sp_matvec(arr["R"], meta["R"], res)
-        z_c = vcycle(arrays, li - 1, r_c)
+        z_c = _coarse_correct(arrays, li, r_c)
         z = z + jnp.where(
             arr["free"], spmv.sp_matvec(arr["P"], meta["P"], z_c), 0.0
         )

@@ -165,3 +165,103 @@ class TestDeflatedCG:
         assert got_r.shape == (80,)
         assert np.abs(got_r).max() < 1e-3 * bmax  # converged-scale
         assert np.asarray(r.z).shape == (80,)
+
+
+class TestDeflationIntegration:
+    """End-to-end coverage of cg_deflate through the Newton load loop,
+    the chunked checkpoint carry, and the sharded out_specs (the three
+    gaps ADVICE r4 flagged: the machinery was unit-tested only)."""
+
+    def test_footing_newton_deflated_cuts_cg_work(self):
+        """`FootingConfig(cg_deflate=k)` through the REAL footing Newton
+        load loop: the recycled ring targets the persistent near-limit
+        small-eigenvalue cluster, so cumulative CG iterations drop
+        hard (measured on this mesh: 196k -> 104k its at k=16, and a
+        saner schedule: 24 -> 18 accepted steps) while the bearing-
+        capacity limit pressure is physics-identical."""
+        from fem_elastoplasticity_tpu.models.config import FootingConfig
+        from fem_elastoplasticity_tpu.models.footing import solve
+
+        r0 = solve(FootingConfig.fast(solver="cg"))
+        rd = solve(FootingConfig.fast(solver="cg", cg_deflate=16))
+        assert float(np.asarray(rd.zeta_hist).max()) >= 1.0
+        p0 = float(r0.pressure_hist[r0.n_steps])
+        pd = float(rd.pressure_hist[rd.n_steps])
+        assert abs(pd - p0) / abs(p0) < 1e-4  # measured 5.6e-6
+        assert rd.n_cg_total < 0.8 * r0.n_cg_total  # measured 0.53
+
+    def test_chunked_checkpoint_roundtrips_deflation_ring(self, tmp_path):
+        """Interrupt + resume a deflated run through the chunked
+        executor: the defl_w/defl_ring carry must round-trip through the
+        npz checkpoint bit-exactly — the resumed run's trajectory equals
+        the single-dispatch run's."""
+        from fem_elastoplasticity_tpu.models import footing as ftg
+        from fem_elastoplasticity_tpu.models.config import FootingConfig
+
+        cfg = FootingConfig.fast(solver="cg", cg_deflate=8, zeta_max=0.05)
+        run, args, mesh = ftg.build_df32(cfg)
+        full = run(args)
+        assert full.defl is not None  # ring state surfaced in the result
+        ck = str(tmp_path / "carry.npz")
+        ex1, _ = ftg.build_df32_chunked(cfg, trips_per_chunk=3, max_chunks=2)
+        r1 = ex1(checkpoint_path=ck)
+        assert int(r1.n_steps) < int(full.n_steps)  # interrupted
+        ex2, _ = ftg.build_df32_chunked(cfg, trips_per_chunk=3)
+        r2 = ex2(checkpoint_path=ck)
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        assert int(r2.n_steps) == int(full.n_steps)
+        assert int(r2.n_newton_total) == int(full.n_newton_total)
+        assert int(r2.n_cg_total) == int(full.n_cg_total)
+        np.testing.assert_array_equal(f64(r2.u), f64(full.u))
+
+    def test_sharded_footing_deflated_bit_identical(self):
+        """cg_deflate>0 under shard_map (footing tangent-MG scale path):
+        the replicated defl out_specs entry must thread through — this
+        is exactly the pytree-mismatch class ADVICE r4 flagged — and the
+        trajectory stays bit-identical to single-device."""
+        import jax
+
+        from fem_elastoplasticity_tpu.models import footing
+        from fem_elastoplasticity_tpu.models.config import FootingConfig
+
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = FootingConfig.fast(
+            solver="cg", level=2, tangent_mg=True, cg_deflate=8,
+            zeta_max=0.004,
+        )
+        run1, args1, _ = footing.build_df32(cfg)
+        r1 = run1(args1)
+        run8, args8, _ = footing.build_df32(cfg, shard_devices=8)
+        r8 = run8(args8)
+        assert int(r8.n_steps) == int(r1.n_steps)
+        assert int(r8.n_cg_total) == int(r1.n_cg_total)
+        f64 = lambda p: np.asarray(p.hi, np.float64) + np.asarray(
+            p.lo, np.float64
+        )
+        np.testing.assert_array_equal(f64(r8.u), f64(r1.u))
+
+    def test_sharded_tsx_deflated_traces_and_runs(self):
+        """TsxTunnelConfig.cg_deflate>0 through solve_sharded_scale: the
+        tsx sharded out_specs carries the defl entry (the ADVICE r4
+        medium finding — previously a trace-time pytree mismatch).
+        Truncated schedule; parity vs the single-device deflated run."""
+        import jax
+
+        from fem_elastoplasticity_tpu.models.tsx_tunnel import (
+            TsxTunnelConfig,
+            _solve_df32,
+            solve_sharded_scale,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = TsxTunnelConfig.fast_scale(
+            1, zeta_max=3.0 / 17.0, cg_deflate=4
+        )
+        r = solve_sharded_scale(cfg, n_devices=8)
+        r1 = _solve_df32(cfg)
+        assert r.n_steps == r1.n_steps >= 3
+        np.testing.assert_array_equal(np.asarray(r.u), np.asarray(r1.u))
