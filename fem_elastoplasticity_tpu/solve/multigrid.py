@@ -642,18 +642,23 @@ def tangent_vcycle(
     Runs once per Newton iteration (`solve/newton.py tangent_mg`).
 
     Row-sharded hierarchies (metas wrap `ops.spmv.ShardedMeta`, under
-    shard_map): the REFRESH math runs replicated — the full per-level
-    value streams are computed identically on every device (the
-    geometry, tangent and Mhat maps are replicated; `tmg_arrays` must
-    carry a replicated `vals_fine_el` copy of the fine elastic stream,
-    since the hierarchy's own vals are per-shard slices) — and each
-    device then slices ITS contiguous superblock range for the sharded
-    V-cycle kernels.  Kernel inputs are bit-identical to the
-    single-device refresh on their rows, so the trajectory matches
-    exactly.  The capacity win at scale is the static hierarchy +
-    transfer operators (the dominant memory); the transient full
-    refresh streams are replicated — an acceptable v1 trade, noted in
-    ROADMAP.
+    shard_map): the refresh itself is row-sharded (VERDICT r4 #6).  Two
+    modes, detected from the Mhat metas:
+
+      * sharded Mhat chain (`tmg_static["mhat_metas"]` wrap ShardedMeta
+        — models/footing.py build_df32(shard_devices=...)): the fine
+        scatter lands directly on each device's LOCAL hierarchy vals
+        slice (global dest cells shifted by the shard offset, out-of-
+        slice entries dropped — the newton corr_shard_axis idiom), so
+        no replicated fine elastic copy exists; each coarse stream is
+        produced by the row-sharded Mhat slot matvec (work split over
+        devices, one transient all_gather per level — the same gather
+        every sharded operator application performs).  Local kernel
+        inputs are bit-identical to the single-device refresh on their
+        rows, so the trajectory matches exactly.
+      * legacy replicated refresh (unsharded Mhat metas + a replicated
+        `vals_fine_el` copy in `tmg_arrays`): full per-level streams
+        computed identically on every device, then sliced.
     """
     from ..models.materials import elastic_tangent_lanes
     from ..ops import assembly as asm
@@ -670,28 +675,60 @@ def tangent_vcycle(
     )
     d_el = elastic_tangent_lanes(shear, bulk, g.n_int, f32)
     ke = jnp.transpose(asm.element_stiffness(g, d_fine - d_el), (2, 0, 1))
-    vals_f = (
-        tmg_arrays["vals_fine_el"].reshape(-1)
-        if sharded
-        else hier_arrays[top]["op"]["vals"].reshape(-1)
-    )
+    mhat_metas = tmg_static["mhat_metas"]
+    mhat_sharded = top >= 1 and isinstance(mhat_metas[0], spmv.ShardedMeta)
     vals = [None] * (top + 1)
-    # -1 (dropped) entries routed to a POSITIVE out-of-bounds index:
-    # jnp indexing wraps negatives before the scatter (newton corr note)
     didx = tmg_arrays["dest"].reshape(-1)
-    didx = jnp.where(didx >= 0, didx, vals_f.size)
-    vals[top] = vals_f.at[didx].add(
-        ke.reshape(-1).astype(vals_f.dtype), mode="drop"
-    )
-    for l in range(top, 0, -1):
-        vals[l - 1] = (
-            spmv.sp_matvec(
-                tmg_arrays["mhat"][l - 1],
-                tmg_static["mhat_metas"][l - 1],
-                vals[l],
-            )
-            + tmg_arrays["base"][l - 1]
+    if mhat_sharded:
+        # row-sharded refresh (docstring): scatter straight into this
+        # device's local hierarchy slice.  Global dest cells shift by
+        # the shard offset; dropped (-1) entries AND earlier-shard cells
+        # route to a POSITIVE out-of-bounds index (negatives would wrap)
+        # and later-shard cells fall off the end — both dropped.
+        m_sh = metas[top]["op"]
+        vloc = hier_arrays[top]["op"]["vals"].reshape(-1)
+        off = jax.lax.axis_index(m_sh.axis) * vloc.size
+        didx_l = jnp.where(didx >= 0, didx - off, -1)
+        didx_l = jnp.where(didx_l >= 0, didx_l, vloc.size)
+        v_loc = vloc.at[didx_l].add(
+            ke.reshape(-1).astype(vloc.dtype), mode="drop"
         )
+        # one transient gather per level — full fine stream exists only
+        # while the next Mhat matvec consumes it
+        n_in_top = mhat_metas[top - 1].local.n_in
+        vals[top] = jax.lax.all_gather(
+            v_loc, m_sh.axis, tiled=True
+        )[:n_in_top]
+        for l in range(top, 0, -1):
+            # row-sharded slot matvec: local rows + gather (sp_matvec)
+            vals[l - 1] = (
+                spmv.sp_matvec(
+                    tmg_arrays["mhat"][l - 1], mhat_metas[l - 1], vals[l]
+                )
+                + tmg_arrays["base"][l - 1]
+            )
+    else:
+        vals_f = (
+            tmg_arrays["vals_fine_el"].reshape(-1)
+            if sharded
+            else hier_arrays[top]["op"]["vals"].reshape(-1)
+        )
+        # -1 (dropped) entries routed to a POSITIVE out-of-bounds index:
+        # jnp indexing wraps negatives before the scatter (newton corr
+        # note)
+        didx = jnp.where(didx >= 0, didx, vals_f.size)
+        vals[top] = vals_f.at[didx].add(
+            ke.reshape(-1).astype(vals_f.dtype), mode="drop"
+        )
+        for l in range(top, 0, -1):
+            vals[l - 1] = (
+                spmv.sp_matvec(
+                    tmg_arrays["mhat"][l - 1],
+                    tmg_static["mhat_metas"][l - 1],
+                    vals[l],
+                )
+                + tmg_arrays["base"][l - 1]
+            )
     arrays_t = []
     for l in range(top + 1):
         m = metas[l]["op"]
