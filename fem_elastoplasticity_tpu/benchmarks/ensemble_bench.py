@@ -72,5 +72,60 @@ def run_ensemble_bench(n_cohesion=8, n_friction=8, verbose=True) -> dict:
     return rec
 
 
+def run_ensemble_scale_bench(
+    n_members=16, refine_levels=1, zeta_max=1.0, verbose=True
+) -> dict:
+    """Refined-mesh df32 ensemble (VERDICT r4 #5): full adaptive solves
+    batched over materials at refine_levels >= 1 via matrix-free PCG
+    members (solver='cg' — parallel/ensemble.py docstring)."""
+    from ..models.config import TsxTunnelConfig
+    from ..parallel.ensemble import material_grid, solve_tsx_ensemble_df32
+
+    nc = max(2, int(np.sqrt(n_members)))
+    nf = -(-n_members // nc)
+    cohesions = np.linspace(14.0, 25.0, nc)
+    frictions = np.deg2rad(np.linspace(42.0, 55.0, nf))
+    eta, c = material_grid(cohesions, frictions)
+    eta, c = eta[:n_members], c[:n_members]
+    cfg = TsxTunnelConfig.fast(
+        solver="cg", refine_levels=refine_levels, zeta_max=zeta_max
+    )
+
+    def sync(res):
+        float(np.asarray(res.u)[0, 0, 0])
+        return res
+
+    t0 = time.perf_counter()
+    res = sync(solve_tsx_ensemble_df32(eta, c, cfg=cfg))
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = sync(solve_tsx_ensemble_df32(eta, c, cfg=cfg))
+    warm = time.perf_counter() - t0
+    rec = {
+        "ensemble_size": int(len(eta)),
+        "refine_levels": int(refine_levels),
+        "zeta_max": float(zeta_max),
+        "first_wall_s": first,
+        "warm_wall_s": warm,
+        "solves_per_s": len(eta) / warm,
+        "min_steps": int(np.asarray(res.n_steps).min()),
+        "max_steps": int(np.asarray(res.n_steps).max()),
+    }
+    if verbose:
+        print(json.dumps(rec), flush=True)
+    return rec
+
+
 if __name__ == "__main__":
-    run_ensemble_bench()
+    import sys
+
+    if "--scale" in sys.argv:
+        kw = {}
+        for a in sys.argv[1:]:
+            if a.startswith("--members="):
+                kw["n_members"] = int(a.split("=", 1)[1])
+            elif a.startswith("--refine="):
+                kw["refine_levels"] = int(a.split("=", 1)[1])
+        run_ensemble_scale_bench(**kw)
+    else:
+        run_ensemble_bench()

@@ -176,7 +176,11 @@ def solve_tsx_ensemble_df32(
     from ..ops.df32 import DF, df_const
 
     cfg = cfg if cfg is not None else TsxTunnelConfig.fast()
-    assert cfg.precision == "df32" and cfg.solver == "dense"
+    assert cfg.precision == "df32" and cfg.solver in ("dense", "cg"), (
+        "df32 ensemble supports the dense parity mesh (solver='dense') "
+        "and refined meshes via matrix-free PCG (solver='cg', "
+        "refine_levels >= 1 — VERDICT r4 #5 ensemble-at-scale)"
+    )
     key = ("df32", cfg, shard_devices)
     etas = np.asarray(etas, np.float64)
     cs = np.asarray(cs, np.float64)
@@ -193,6 +197,8 @@ def solve_tsx_ensemble_df32(
         n_nodes, n_q, n_real = mesh.n_nodes, gdf.hi.n_q, gdf.hi.n_real
         monitor_dof = 2 * cfg.monitor_node
         f32 = jnp.float32
+        # f32 PCG floor (cg members; tsx/footing build_df32 use the same)
+        cg_tol = cfg.cg_tol if cfg.cg_tol is not None else 2e-7
 
         settings = NewtonSettings(
             maxit=cfg.newton_maxit,
@@ -230,22 +236,56 @@ def solve_tsx_ensemble_df32(
             rhs = DF(-f0.hi, -f0.lo)
 
             D = elastic_tangent_lanes(shear, bulk, n_int, f32)
-            ke = asm.element_stiffness(g.hi, D)
-            K_free = asm.assemble_dense_free(ke, g.hi, a["fmap"], n_free)
-            cho = jax.scipy.linalg.cho_factor(K_free)
-            dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
-            Ks = K_free * dsc[:, None] * dsc[None, :]
-            Ki = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(Ks),
-                jnp.eye(n_free, dtype=f32),
-            )
-            Ki = Ki * dsc[:, None] * dsc[None, :]
             zero_u = DF(
                 jnp.zeros((2 * n_nodes,), f32), jnp.zeros((2 * n_nodes,), f32)
             )
-            u_elast = adf.refine_elastic_solve_df(
-                g, cho, a["free_idx"], zero_u, rhs, shear, bulk
-            )
+            if cfg.solver == "dense":
+                ke = asm.element_stiffness(g.hi, D)
+                K_free = asm.assemble_dense_free(
+                    ke, g.hi, a["fmap"], n_free
+                )
+                cho = jax.scipy.linalg.cho_factor(K_free)
+                dsc = jax.lax.rsqrt(jnp.diagonal(K_free))
+                Ks = K_free * dsc[:, None] * dsc[None, :]
+                Ki = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(Ks),
+                    jnp.eye(n_free, dtype=f32),
+                )
+                Ki = Ki * dsc[:, None] * dsc[None, :]
+                u_elast = adf.refine_elastic_solve_df(
+                    g, cho, a["free_idx"], zero_u, rhs, shear, bulk
+                )
+            else:
+                # refined-mesh members (cfg.refine_levels >= 1): the
+                # dense elastic factor would be O(n^2) memory x batch —
+                # predictor and tangent solves run matrix-free PCG
+                # (block-Jacobi), shared elastic structure across members
+                from ..solve.cg import (
+                    block_jacobi_preconditioner,
+                    solve_cg,
+                )
+
+                fmask = (
+                    jnp.zeros((2 * n_nodes,), bool)
+                    .at[a["free_idx"]]
+                    .set(True)
+                )
+                blocks_el = asm.node_block_diagonal(g.hi, D)
+                pre_el = block_jacobi_preconditioner(
+                    blocks_el, fmask.reshape(-1, 2)
+                )
+
+                def solve_fn(r_hi):
+                    return solve_cg(
+                        lambda v: asm.tangent_matvec(g.hi, D, v),
+                        r_hi, fmask, precond=pre_el, tol=cg_tol,
+                        maxiter=cfg.cg_maxiter,
+                        structure=cfg.cg_structure,
+                    ).x
+
+                u_elast = adf.refine_elastic_solve_with(
+                    g, solve_fn, zero_u, rhs, shear, bulk
+                )
             d_zeta = df_const(cfg.d_zeta)
             from ..ops.df32 import df_barrier, df_mul
 
@@ -257,8 +297,7 @@ def solve_tsx_ensemble_df32(
                     0.0, 0.0, settings,
                     e0_dir=DF(a["e0_hi"], a["e0_lo"]),
                     monitor=lambda u, s: DF(u.hi[monitor_dof], u.lo[monitor_dof]),
-                    solver="dense",
-                    elastic_factor=("inv", Ki),
+                    solver=cfg.solver,
                     # under vmap the plastic/elastic cond becomes a select
                     # (both branches run for every member), so the Woodbury
                     # solve replaces 64 batched O(n^3) assembly+factor
@@ -268,8 +307,15 @@ def solve_tsx_ensemble_df32(
                     # generous cap; fallback disabled: under vmap the
                     # fallback cond becomes a select that would run the
                     # batched fresh factor every iteration (newton.py)
-                    smw_cap=128,
+                    elastic_factor=(
+                        ("inv", Ki) if cfg.solver == "dense" else None
+                    ),
+                    smw_cap=128 if cfg.solver == "dense" else None,
                     smw_fallback=False,
+                    cg_tol=cg_tol,
+                    cg_maxiter=cfg.cg_maxiter,
+                    cg_structure=cfg.cg_structure,
+                    cg_eta0=cfg.cg_eta0,
                     precision="df32",
                     pin_zeros=a["pinz"],
                     accumulate_ep=not cfg.bug_compatible_ep_reset,
