@@ -204,7 +204,14 @@ def solve_cg(
         r0 = b - AW @ mu
         z0 = proj(M(r0))
         gamma0 = r0 @ z0
-        bnorm = jnp.sqrt(jnp.abs(gamma0))
+        # stopping scale from the RHS, not the post-coarse-correction
+        # residual: r0 can be much smaller than b when the recycled
+        # basis captures the solution, and a bnorm built from gamma0
+        # would silently tighten the relative tolerance by that factor
+        # — the deflated solve then over-solves and re-spends the
+        # iterations deflation saved (one extra M instantiation, same
+        # cost the warm-start x0 path already pays)
+        bnorm = jnp.sqrt(jnp.abs(b @ proj(M(b))))
     elif x0 is None:
         x0 = jnp.zeros_like(b)
         r0 = b
