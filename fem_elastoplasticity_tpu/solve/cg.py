@@ -204,14 +204,19 @@ def solve_cg(
         r0 = b - AW @ mu
         z0 = proj(M(r0))
         gamma0 = r0 @ z0
-        # stopping scale from the RHS, not the post-coarse-correction
-        # residual: r0 can be much smaller than b when the recycled
-        # basis captures the solution, and a bnorm built from gamma0
-        # would silently tighten the relative tolerance by that factor
-        # — the deflated solve then over-solves and re-spends the
-        # iterations deflation saved (one extra M instantiation, same
-        # cost the warm-start x0 path already pays)
-        bnorm = jnp.sqrt(jnp.abs(b @ proj(M(b))))
+        # stopping scale: ||b|| in the UNDEFLATED preconditioner norm.
+        # Both natural alternatives are wrong by orders of magnitude:
+        # gamma0 (||r0||_M) silently TIGHTENS the tolerance by however
+        # much of the solution the recycled basis captured (the solve
+        # then over-solves and re-spends the saved iterations), while
+        # b.M(b) is INFLATED by the coarse term b.Qb ~ sum (w_i.b)^2 /
+        # lambda_small — the whole point of the basis is tiny Rayleigh
+        # quotients — which LOOSENS the tolerance, hands Newton sloppy
+        # steps and fragments the adaptive schedule (measured: footing
+        # L4 went 290 -> 505 steps).  ||b||_M0 matches the undeflated
+        # solver's stopping scale exactly (one extra M0 instantiation,
+        # the same cost the warm-start x0 path pays).
+        bnorm = jnp.sqrt(jnp.abs(b @ proj(M0(b))))
     elif x0 is None:
         x0 = jnp.zeros_like(b)
         r0 = b
