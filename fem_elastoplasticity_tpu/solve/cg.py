@@ -37,6 +37,13 @@ class CGResult(NamedTuple):
     # (deflation_harvest); dead-code-eliminated when unused
     r: Optional[jnp.ndarray] = None
     z: Optional[jnp.ndarray] = None
+    # plain 2-norm reduction |r_k|_2 / |b|_2 — the capped-solve progress
+    # measure for DEFLATED solves (newton.py _cg_ok): gamma's deflated-M
+    # norm is inflated for unconverged residuals whose basis-orthogonality
+    # has drifted (the Q term amplifies by 1/lambda_small), which made
+    # cap_relax reject capped solves that had genuinely progressed and
+    # locked the footing L4 schedule one halving below the undeflated run
+    rel2_residual: jnp.ndarray = jnp.nan
 
 
 def block_jacobi_preconditioner(blocks: jnp.ndarray, free: jnp.ndarray):
@@ -297,14 +304,26 @@ def solve_cg(
     else:
         raise ValueError(f"unknown structure {structure!r}")
     res = jnp.sqrt(jnp.abs(gamma))
+    bn2 = jnp.sqrt(b @ b)
+    res_rep = res
+    if deflate is not None:
+        # reported progress in the UNDEFLATED preconditioner norm: the
+        # deflated gamma's M-norm is inflated for capped residuals whose
+        # basis-orthogonality drifted (the Q term amplifies components by
+        # 1/lambda_small), which made cap_relax (calibrated on the M0
+        # norm) reject capped solves that had genuinely progressed and
+        # lock the footing L4 schedule one halving below the undeflated
+        # run.  One extra M0 application at exit, not per iteration.
+        res_rep = jnp.sqrt(jnp.abs(r @ proj(M0(r))))
     return CGResult(
         x=x * bscale,
         iters=k,
         residual=res * bscale,
         converged=res <= limit,
-        rel_residual=res / jnp.where(bnorm > 0.0, bnorm, 1.0),
+        rel_residual=res_rep / jnp.where(bnorm > 0.0, bnorm, 1.0),
         r=r * bscale,
         z=z * bscale,
+        rel2_residual=jnp.sqrt(r @ r) / jnp.where(bn2 > 0.0, bn2, 1.0),
     )
 
 

@@ -462,7 +462,13 @@ def build_load_stepper(
     def _cg_ok(res):
         """Capped-solve acceptance (cg_cap_relax doc): converged, or made
         enough preconditioned-residual progress to count as an
-        inexact-Newton step.  NaN rel_residual compares False."""
+        inexact-Newton step.  NaN rel_residual compares False.  Deflated
+        solves report rel_residual in the UNDEFLATED preconditioner norm
+        (cg.py res_rep doc) so this threshold keeps one calibration.
+        (A plain 2-norm measure was tried and rejected: even undeflated
+        capped solves reduce the 2-norm only to ~0.6 while their M0
+        measure shows 1e-3 — the V-cycle norm weights the stiff modes
+        completely differently.)"""
         if cg_cap_relax is None:
             return res.converged
         return res.converged | (res.rel_residual <= cg_cap_relax)
@@ -645,8 +651,9 @@ def build_load_stepper(
 
             if os.environ.get("FEM_TPU_DEBUG_CG"):
                 jax.debug.print(
-                    "cg-tmg: iters={it} rel={rel} conv={c} eta={e}",
-                    it=res.iters, rel=res.rel_residual, c=res.converged,
+                    "cg-tmg: iters={it} rel={rel} rel2={r2} conv={c} eta={e}",
+                    it=res.iters, rel=res.rel_residual,
+                    r2=res.rel2_residual, c=res.converged,
                     e=cg_tol if eta is None else eta,
                 )
             return res.x, _cg_ok(res), res.iters, defl
