@@ -102,6 +102,14 @@ class FootingConfig:
     # small-eigenvalue (shear-band) cluster that caps the near-limit
     # solves.  0 = off.
     cg_deflate: int = 0
+    # residual-norm backtracking for the semi-smooth Newton iteration
+    # (solve/newton.py newton_damping doc): max halvings of the Newton
+    # step while the free-DOF residual norm fails to decrease.  0 = the
+    # reference's undamped iteration.  Levels >= 5 resolve the footing-
+    # edge plastic front sharply enough that the undamped iteration
+    # oscillates between active sets (maxit-stall at any tolerance);
+    # fast_scale enables 3 halvings there.
+    newton_damping: int = 0
     # df32 residual operator format for the scale paths (tangent_mg /
     # assembled_cg): None = "rslot" (ragged compacted-slot, falls back
     # to dense slot when chunking saves <15% — TsxTunnelConfig doc)
@@ -153,13 +161,26 @@ class FootingConfig:
         at ~1235 s total, 290 steps / 2270 Newton its / 3.84M CG its,
         limit pressure 20.4259 — identical to the strict round-3 value.
         Run via `build_df32_chunked` (the axon tunnel aborts long
-        single dispatches)."""
+        single dispatches).
+
+        cg_deflate=16 (round 5): the recycled A-DEF2 ring halves the
+        near-limit capped solves' CG iterations (L4 same-session A/B:
+        3.84M -> 2.84M total its, per-Newton-solve 1693 -> 825, wall
+        1289.6 -> 1184 s, identical 20.4259 limit pressure; L2 CPU
+        -38% its).  The deflated schedule runs finer steps (L4 290 ->
+        ~506) — the per-solve win dominates anyway.  Set cg_deflate=0
+        to compare against the undeflated baseline."""
         kw.setdefault("solver", "cg")
         kw.setdefault("tangent_mg", True)
         kw.setdefault("cg_maxiter", 3000)
         kw.setdefault("cg_eta0", 1e-2)
         kw.setdefault("newton_tol", 1e-10)
         kw.setdefault("accept_tol", 1e-8)
+        kw.setdefault("cg_deflate", 16)
+        # level >= 5: globalized (damped) Newton — the undamped
+        # iteration stalls on active-set oscillation at the sharply
+        # resolved plastic front (newton_damping doc)
+        kw.setdefault("newton_damping", 3 if level >= 5 else 0)
         return cls.fast(level=level, **kw)
 
 

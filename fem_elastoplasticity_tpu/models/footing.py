@@ -160,6 +160,7 @@ def solve(cfg: FootingConfig = FootingConfig()) -> FootingResult:
             cg_structure=cfg.cg_structure,
             cg_cap_relax=cfg.cg_cap_relax,
             cg_deflate=(cfg.cg_deflate if cfg.solver == "cg" else 0),
+            newton_damping=cfg.newton_damping,
             elastic_factor=(
                 _elastic_factor(cho, dtype)
                 if cfg.solver == "dense"
@@ -577,6 +578,7 @@ def build_df32(cfg: FootingConfig, shard_devices=None):
                 else (1e-2 if cfg.tangent_mg else None)
             ),
             cg_deflate=(cfg.cg_deflate if cfg.solver == "cg" else 0),
+            newton_damping=cfg.newton_damping,
             apex_ep_uses_trial=cfg.bug_compatible_apex,
             elastic_factor=("inv", Ki) if cfg.solver == "dense" else None,
             elastic_op=(

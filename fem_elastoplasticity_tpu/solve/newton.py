@@ -143,6 +143,7 @@ def build_load_stepper(
     cg_eta_safety: float = 0.1,
     cg_cap_relax: Optional[float] = None,
     cg_deflate: int = 0,
+    newton_damping: int = 0,
     apex_ep_uses_trial: bool = False,
     axis_name: Optional[str] = None,
     dense_mode: str = "f64",
@@ -829,11 +830,52 @@ def build_load_stepper(
             dU, ok, cg_its, defl = newton_solve(
                 ds_rm, f_int, any_p, ind_p=ind_p, eta=eta, defl=defl
             )
-            U_new = (
-                df_pin(df_barrier(df_add(U_it, df(dU))), pin_zeros)
-                if df_mode
-                else U_it + dU
-            )
+            def _upd(step_vec):
+                return (
+                    df_pin(df_barrier(df_add(U_it, df(step_vec))), pin_zeros)
+                    if df_mode
+                    else U_it + step_vec
+                )
+
+            if newton_damping:
+                # residual-norm backtracking (globalized semi-smooth
+                # Newton): the undamped iteration oscillates between
+                # active sets at sharply-resolved plastic fronts (the
+                # footing level-5 ramp stalls >40 its with crit far
+                # above tolerance; the reference never sees this — it
+                # cannot represent the mesh size).  Take s*dU with s
+                # halved up to `newton_damping` times until the free-DOF
+                # residual 2-norm decreases; if it never does, keep the
+                # smallest trial (the outer controller's maxit/halving
+                # still governs).  Cost: one extra return-map + residual
+                # per trial; CG cost (the dominant term) unchanged.
+                # crit stays the reference's full-increment measure, so
+                # damping can only slow convergence reporting, never
+                # fake it.  Single-level lax.while at body top level —
+                # never nest lax.cond (CLAUDE.md landmine 9).
+                phi0 = jnp.linalg.norm(jnp.where(free_mask, f_int, 0.0))
+
+                def _phi(s_scale):
+                    s_c = return_map(_upd(s_scale * dU), ep, zeta)[0]
+                    f_c = residual_force(s_c, zeta)
+                    return jnp.linalg.norm(jnp.where(free_mask, f_c, 0.0))
+
+                def bt_cond(c):
+                    _, phi_s, t = c
+                    return (phi_s >= phi0) & (t < newton_damping)
+
+                def bt_body(c):
+                    s_scale, _, t = c
+                    s2 = jnp.asarray(0.5, s_scale.dtype) * s_scale
+                    return (s2, _phi(s2), t + 1)
+
+                one = jnp.asarray(1.0, jnp.float32 if df_mode else dtype)
+                s_fin, _, _ = jax.lax.while_loop(
+                    bt_cond, bt_body, (one, _phi(one), jnp.asarray(0))
+                )
+                U_new = _upd(s_fin * dU)
+            else:
+                U_new = _upd(dU)
             q1, q2, q3 = criterion_norms(dU, u_head(U_it))
             crit = q1 / (q2 + q3)
             fail = jnp.isnan(crit) | ~ok
