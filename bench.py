@@ -313,14 +313,20 @@ def _bench_return_map_throughput(jax, np):
                 s, ds6, lam, ep = dp_return_map_pallas(
                     e3, a["ep"], shear, bulk, eta, c
                 )
-                # bounded chain through the stress so iterations depend
-                return a["e3"] * (1.0 + 1e-30 * s[:3])
+                # feed the stress back as a bounded strain so iterations
+                # truly chain (a +tiny*s perturbation rounds to identity
+                # in f32 and XLA collapses the loop — measured 228
+                # "TDOF/s"); the kernel is branchless, so cost does not
+                # depend on the state values
+                return s[:3] / (1.0 + jnp.abs(s).max())
 
             return jax.lax.fori_loop(0, n_iters, body, a["e3"])
 
         return fn
 
-    wall = _floor_cancelled_wall(apply_n, args, np, reps=(30, 100))
+    # the fused kernel runs ~20 us/iteration at this size — rep counts
+    # must spread the two timings well past the tunnel's ~ms jitter
+    wall = _floor_cancelled_wall(apply_n, args, np, reps=(200, 1200))
     return 2 * mesh.n_nodes / wall / 1e9, n / wall / 1e9
 
 
