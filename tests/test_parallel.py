@@ -342,6 +342,11 @@ class TestEnsembleAtScale:
         # physics ordering across members: lower cohesion yields more
         assert int(r.n_plastic[0]) >= int(r.n_plastic[3])
 
+    @pytest.mark.skipif(
+        "FEM_TPU_SLOW" not in __import__("os").environ,
+        reason="second refined-ensemble compile (~2 min); the unsharded "
+        "refined-member parity test runs every time — set FEM_TPU_SLOW=1",
+    )
     def test_refined_sharded_members_match_vmap(self):
         """The same refined cg ensemble sharded over 8 devices equals
         the single-device vmap ensemble (members are independent; the
